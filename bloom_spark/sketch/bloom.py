@@ -1,0 +1,203 @@
+"""Partitioned-bit-array Bloom filter, OR-mergeable, numpy-vectorized.
+
+Behavioral contract from the reference (kenorb/bloom):
+- zero false negatives; FPR ≤ (1 - e^{-kn/m})^k — the crate-constructor
+  bound (reference: src/bloom/containers/container_memory_bloom.rs:118-136).
+- two constructors mirroring the reference CLI specs:
+  ``from_size`` ≙ ``-bls NUM,SIZE`` (m fixed by bytes, k derived) and
+  ``from_fpr`` ≙ ``-ble NUM,P`` (m,k derived from target FPR)
+  (container_memory_bloom.rs:118-136, src/main.rs:216-265).
+- write cap / ``is_full`` ≙ ``-l``/limit semantics
+  (container.rs:27, process.rs:107-130).
+- ``check_and_set`` fused probe+insert ≙ container.rs:24,29-37 — ours is
+  batch-vectorized: exact first-occurrence within the batch, sketch-probe
+  across batches.
+
+Deliberate divergence (SURVEY.md §2.4 H2): the reference's random SipHash
+keys are replaced by a deterministic Kirsch–Mitzenmacher family over two
+seeded 64-bit hashes, which makes independently built segments OR-mergeable
+and runs reproducible.
+"""
+
+from __future__ import annotations
+
+import base64
+import math
+
+import numpy as np
+import pandas as pd
+
+from bloom_spark.hashing import hash_series_pair, km_indices, to_uint64
+from bloom_spark.sketch.base import Sketch, register_sketch
+
+_U64 = np.uint64
+
+
+def optimal_m_k(n: int, fpr: float) -> tuple[int, int]:
+    """(m bits, k hashes) for target FPR at n items — the textbook formulas
+    the bloomfilter crate uses (container_memory_bloom.rs:118-126)."""
+    if not 0.0 < fpr < 1.0:
+        raise ValueError(f"fpr must be in (0,1), got {fpr}")
+    m = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
+    k = max(1, round(m / n * math.log(2))) if n > 0 else 1
+    return m, k
+
+
+def fpr_bound(n: int, m: int, k: int) -> float:
+    """(1 - e^{-kn/m})^k — the bound the reference's tests pin."""
+    if n == 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n / m)) ** k
+
+
+@register_sketch
+class BloomSketch(Sketch):
+    KIND = "bloom"
+
+    def __init__(self, m_bits: int, k: int, limit: int | None = None):
+        if m_bits <= 0 or k <= 0:
+            raise ValueError("m_bits and k must be positive")
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.limit = int(limit) if limit is not None else None
+        self.n_inserted = 0  # ≙ num_writes (container.rs:30)
+        self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    # -- constructors (reference CLI parity) --------------------------------
+    @classmethod
+    def from_fpr(cls, n: int, fpr: float, limit: int | None = None) -> "BloomSketch":
+        """≙ ``-ble NUM,ERROR_RATE``."""
+        m, k = optimal_m_k(n, fpr)
+        return cls(m, k, limit=limit if limit is not None else n)
+
+    @classmethod
+    def from_size(cls, n: int, size_bytes: int, limit: int | None = None) -> "BloomSketch":
+        """≙ ``-bls NUM,SIZE``: m fixed by bytes, k derived from m/n."""
+        m = int(size_bytes) * 8
+        k = max(1, round(m / max(1, n) * math.log(2)))
+        return cls(m, k, limit=limit if limit is not None else n)
+
+    # -- vectorized core -----------------------------------------------------
+    def _index(self, h1: np.ndarray, h2: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        idx = km_indices(to_uint64(h1), to_uint64(h2), self.k, self.m)
+        return idx >> _U64(6), _U64(1) << (idx & _U64(63))
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Unconditional insert ≙ ``set`` (container.rs:17). Vectorized:
+        one scatter-OR over the whole batch."""
+        if len(h1) == 0:
+            return
+        word, mask = self._index(h1, h2)
+        np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+        self.n_inserted += len(h1)
+
+    def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Membership probe ≙ ``check`` (container.rs:20). bool[n]."""
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        word, mask = self._index(h1, h2)
+        return ((self.words[word] & mask) == mask).all(axis=1)
+
+    def check_and_set_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Fused probe-then-insert ≙ ``check_and_set`` (container.rs:24).
+
+        Returns "was already present" per element. Within the batch,
+        duplicate (h1,h2) pairs after the first are reported present
+        *exactly* (no within-batch false positives — a strict improvement
+        over sequential probing, documented divergence). Honors the write
+        cap: once full, no more inserts, probes continue
+        (process.rs:107-130 semantics).
+        """
+        n = len(h1)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        pair = np.stack([to_uint64(h1), to_uint64(h2)], axis=1)
+        _, first_idx, inverse = np.unique(
+            pair, axis=0, return_index=True, return_inverse=True
+        )
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        found_unique = self.contains_hashes(h1[first_idx], h2[first_idx])
+        found = found_unique[inverse.ravel()] | ~is_first
+        to_insert = is_first & ~found
+        if self.limit is not None:
+            room = max(0, self.limit - self.n_inserted)
+            if room < int(to_insert.sum()):
+                keep = np.flatnonzero(to_insert)[:room]
+                to_insert = np.zeros(n, dtype=bool)
+                to_insert[keep] = True
+        if to_insert.any():
+            self.update_hashes(h1[to_insert], h2[to_insert])
+        return found
+
+    # -- value-level convenience (local path; Spark path feeds hashes) ------
+    def update(self, values: pd.Series) -> None:
+        self.update_hashes(*hash_series_pair(values))
+
+    def contains(self, values: pd.Series) -> np.ndarray:
+        return self.contains_hashes(*hash_series_pair(values))
+
+    def check_and_set(self, values: pd.Series) -> np.ndarray:
+        return self.check_and_set_hashes(*hash_series_pair(values))
+
+    # -- capacity / metrics (reference M1-M3) --------------------------------
+    def is_full(self) -> bool:
+        return self.limit is not None and self.n_inserted >= self.limit
+
+    def fill_ratio(self) -> float:
+        """True popcount fill (the reference reports writes/bit instead —
+        container.rs:33; we report both, SURVEY.md §2.5 M2)."""
+        pop = int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") \
+            else int(sum(bin(int(w)).count("1") for w in self.words))
+        return pop / self.m
+
+    def writes_per_bit(self) -> float:
+        """Reference's ``get_usage`` semantic (container.rs:33)."""
+        return self.n_inserted / self.m
+
+    def estimated_fpr(self) -> float:
+        """Live FPR estimate from actual fill: fill^k."""
+        return self.fill_ratio() ** self.k
+
+    def expected_fpr(self) -> float:
+        return fpr_bound(self.n_inserted, self.m, self.k)
+
+    # -- merge / serde --------------------------------------------------------
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        if not isinstance(other, BloomSketch):
+            raise TypeError("can only merge BloomSketch with BloomSketch")
+        if (other.m, other.k) != (self.m, self.k):
+            raise ValueError(
+                f"incompatible bloom params: ({self.m},{self.k}) vs ({other.m},{other.k})"
+            )
+        np.bitwise_or(self.words, other.words, out=self.words)
+        self.n_inserted += other.n_inserted
+        return self
+
+    def params(self) -> dict:
+        return {
+            "m": self.m,
+            "k": self.k,
+            "limit": self.limit,
+            "n_inserted": self.n_inserted,
+        }
+
+    def _payload(self) -> bytes:
+        return self.words.tobytes()
+
+    @classmethod
+    def _from_params(cls, params: dict, payload: bytes) -> "BloomSketch":
+        s = cls(params["m"], params["k"], limit=params.get("limit"))
+        s.n_inserted = int(params.get("n_inserted", 0))
+        words = np.frombuffer(payload, dtype=np.uint64)
+        if len(words) != len(s.words):
+            raise ValueError("bloom payload size mismatch")
+        s.words = words.copy()
+        return s
+
+    def to_b64(self) -> str:
+        return base64.b64encode(self.to_bytes()).decode()
+
+    @classmethod
+    def from_b64(cls, s: str) -> "BloomSketch":
+        return cls.from_bytes(base64.b64decode(s))
