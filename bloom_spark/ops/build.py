@@ -1,0 +1,206 @@
+"""Distributed sketch build: per-partition segments → tree merge.
+
+The Spark realization of the reference's single-threaded build loop
+(reference: src/bloom/process.rs:42-79): each executor streams Arrow
+batches of *precomputed JVM hashes* through ``mapInPandas``, folds them
+into one sketch segment per partition, and emits the segment as a binary
+blob row. Segments are then merged associatively — ``treeAggregate`` over
+blobs (depth log(P)), so no task ever holds more than two blobs.
+
+Scale notes (the parts that matter at 10^12 rows / 1000 executors):
+- hashing happens JVM-side (``F.xxhash64``) inside whole-stage codegen;
+  Python sees two int64 columns only → the Arrow transfer is 16 B/row
+  regardless of how wide the input text is.
+- ``select`` before ``mapInPandas`` prunes every other column at the
+  parquet scan (check ``ReadSchema`` in ``.explain``).
+- one segment per input partition; skewed inputs should be salted first
+  (``salted_repartition``) so no segment saturates (≙ the reference's
+  ``is_full`` cap, process.rs:107-130).
+"""
+
+from __future__ import annotations
+
+import uuid
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bloom_spark.hashing import to_uint64
+from bloom_spark.sketch.base import Sketch, sketch_from_bytes
+
+H1_COL = "__bs_h1"
+H2_COL = "__bs_h2"
+
+# Second-hash domain separator: prefixing a literal changes every xxhash64
+# state transition, giving an (empirically) independent family member.
+_H2_SALT = "bloomspark/h2"
+
+SEGMENT_SCHEMA = "segment_id long, n_rows long, sketch binary"
+
+
+def with_hash_columns(
+    df: DataFrame, cols: list[str], h1: str = H1_COL, h2: str = H2_COL
+) -> DataFrame:
+    """Add the (h1, h2) int64 hash columns, computed JVM-side.
+
+    Multi-column keys hash the column tuple (xxhash64 chains its inputs).
+    """
+    cs = [F.col(c) for c in cols]
+    return df.withColumn(h1, F.xxhash64(*cs)).withColumn(
+        h2, F.xxhash64(F.lit(_H2_SALT), *cs)
+    )
+
+
+def salted_repartition(
+    df: DataFrame, key: str, num_partitions: int, salts: int = 8
+) -> DataFrame:
+    """Spread a skewed key over ``salts`` sub-keys before a build/agg.
+
+    ≙ SURVEY.md §4 skew handling: composing the partition key with
+    ``xxhash64(key) % salts`` caps any single key's share of a partition.
+    """
+    salt = F.pmod(F.xxhash64(F.col(key), F.lit("salt")), F.lit(salts))
+    return df.repartition(num_partitions, F.col(key), salt)
+
+
+def _build_segments_map(
+    factory: Callable[[], Sketch], feed: Callable[[Sketch, pd.DataFrame], int]
+):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketch = factory()
+        n = 0
+        for pdf in batches:
+            n += feed(sketch, pdf)
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        yield pd.DataFrame(
+            {
+                "segment_id": [pid],
+                "n_rows": [n],
+                "sketch": [sketch.to_bytes()],
+            }
+        )
+
+    return fn
+
+
+def _feed_hashes(sketch: Sketch, pdf: pd.DataFrame) -> int:
+    sketch.update_hashes(to_uint64(pdf[H1_COL]), to_uint64(pdf[H2_COL]))
+    return len(pdf)
+
+
+def _feed_hashes_weighted(sketch, pdf: pd.DataFrame) -> int:
+    counts = pdf["__bs_weight"].to_numpy(dtype=np.int64)
+    sketch.update_hashes(to_uint64(pdf[H1_COL]), to_uint64(pdf[H2_COL]), counts)
+    return len(pdf)
+
+
+def _feed_values(sketch: Sketch, pdf: pd.DataFrame) -> int:
+    sketch.update_values(pdf["__bs_value"].to_numpy(dtype=np.float64))
+    return len(pdf)
+
+
+def build_segments(
+    df: DataFrame,
+    cols: list[str],
+    factory: Callable[[], Sketch],
+    value_col: str | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """DataFrame of per-partition sketch segments (SEGMENT_SCHEMA).
+
+    ``cols`` — key columns for hash sketches (bloom/hll/cms/xxhtab);
+    ``value_col`` — numeric column for value sketches (kll/tdigest);
+    ``weight_col`` — optional count column (CMS weighted updates).
+    """
+    if value_col is not None:
+        src = df.select(F.col(value_col).cast("double").alias("__bs_value")).where(
+            F.col("__bs_value").isNotNull()
+        )
+        feed = _feed_values
+    elif weight_col is not None:
+        src = with_hash_columns(df, cols).select(
+            H1_COL, H2_COL, F.col(weight_col).cast("long").alias("__bs_weight")
+        )
+        feed = _feed_hashes_weighted
+    else:
+        src = with_hash_columns(df, cols).select(H1_COL, H2_COL)
+        feed = _feed_hashes
+    return src.mapInPandas(_build_segments_map(factory, feed), SEGMENT_SCHEMA)
+
+
+def merge_segments(segments: DataFrame, depth: int = 2) -> tuple[Sketch, int]:
+    """Tree-reduce segment blobs → (global sketch, total rows consumed).
+
+    ``treeAggregate`` keeps every merge pairwise-streaming: a task folds
+    its partition's blobs one at a time, then log-depth combining; the
+    driver receives exactly one blob. (≙ the reference's container chain
+    collapsed by OR — SURVEY.md §2.3 T4.)
+    """
+    def seq(acc, row):
+        s = sketch_from_bytes(bytes(row.sketch))
+        n = int(row.n_rows)
+        if acc is None:
+            return (s, n)
+        return (acc[0].merge(s), acc[1] + n)
+
+    def comb(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return (a[0].merge(b[0]), a[1] + b[1])
+
+    out = segments.rdd.treeAggregate(None, seq, comb, depth=depth)
+    if out is None:
+        raise ValueError("no segments to merge (empty input)")
+    return out
+
+
+def build_sketch(
+    df: DataFrame,
+    cols: list[str],
+    factory: Callable[[], Sketch],
+    value_col: str | None = None,
+    weight_col: str | None = None,
+    num_partitions: int | None = None,
+    salt_key: str | None = None,
+) -> tuple[Sketch, int]:
+    """End-to-end: hash → per-partition segments → tree merge → one sketch."""
+    if salt_key is not None and num_partitions is not None:
+        df = salted_repartition(df, salt_key, num_partitions)
+    elif num_partitions is not None:
+        df = df.repartition(num_partitions)
+    segs = build_segments(df, cols, factory, value_col=value_col, weight_col=weight_col)
+    return merge_segments(segs)
+
+
+# ----------------------------------------------------------------- broadcast probe
+
+_WORKER_SKETCH_CACHE: dict[str, Sketch] = {}
+
+
+def membership_udf(spark: SparkSession, sketch: Sketch):
+    """A pandas UDF ``(h1, h2) -> bool`` probing a broadcast global sketch.
+
+    The serialized sketch ships once per executor (Spark broadcast);
+    deserialization is cached per worker process keyed by a fresh token,
+    so each Arrow batch pays numpy probe cost only.
+    """
+    token = uuid.uuid4().hex
+    blob_bc = spark.sparkContext.broadcast(sketch.to_bytes())
+
+    @F.pandas_udf("boolean")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        s = _WORKER_SKETCH_CACHE.get(token)
+        if s is None:
+            s = sketch_from_bytes(blob_bc.value)
+            _WORKER_SKETCH_CACHE[token] = s
+        res = s.contains_hashes(to_uint64(h1), to_uint64(h2))
+        return pd.Series(res)
+
+    return probe

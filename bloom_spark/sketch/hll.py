@@ -43,9 +43,11 @@ class HyperLogLog(Sketch):
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     # -- update ---------------------------------------------------------------
-    def update_hashes(self, h: np.ndarray) -> None:
+    def update_hashes(self, h: np.ndarray, _h2: np.ndarray | None = None) -> None:
         """Consume uint64 hashes: top p bits → register index, rank of the
-        remaining 64-p bits → register value (max)."""
+        remaining 64-p bits → register value (max). ``_h2`` is accepted for
+        a uniform (h1, h2) feed signature and ignored (HLL needs one hash).
+        """
         if len(h) == 0:
             return
         h = to_uint64(h)

@@ -51,9 +51,10 @@ class XXHFingerprintTable(Sketch):
             h & _FP_MASK
         ).astype(np.uint32)
 
-    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+    def contains_hashes(self, h: np.ndarray, _h2: np.ndarray | None = None) -> np.ndarray:
         """≙ find_key: True on fingerprint match OR on all-4-occupied
-        saturation (container_memory_xxh.rs:112-134)."""
+        saturation (container_memory_xxh.rs:112-134). ``_h2`` accepted for
+        the uniform (h1, h2) probe signature and ignored."""
         n = len(h)
         if n == 0:
             return np.zeros(0, dtype=bool)
@@ -67,9 +68,9 @@ class XXHFingerprintTable(Sketch):
             all_occupied &= occ
         return found | all_occupied
 
-    def update_hashes(self, h: np.ndarray) -> None:
+    def update_hashes(self, h: np.ndarray, _h2: np.ndarray | None = None) -> None:
         """≙ insert_key: claim first free slot among 4 probes; silently drop
-        on saturation (container_memory_xxh.rs:82-110)."""
+        on saturation (container_memory_xxh.rs:82-110). ``_h2`` ignored."""
         pending = np.flatnonzero(~self.contains_hashes(h))
         slot, fp = self._base(h)
         slot, fp = slot[pending], fp[pending]
