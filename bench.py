@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Per-round benchmark: headline queries + dedup throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Inputs: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) for the
+driver-generated tables; the dedup-throughput row synthesizes the
+Common-Crawl-style pages table (FIXTURES.md) at ~20M rows/sf so the
+headline metric (BASELINE.json: dedup docs/sec) is measured on a
+meaningfully sized input even though the sf tables are small.
+
+Runs on local[$SPARK_GRAFT_CPUS] (default 32). Scaling evidence
+(local[8] vs local[32]) lives in bench_scaling.py → BASELINE.md.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    from bloom_spark.session import get_session
+
+    spark = get_session(
+        "bloom_spark_bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    # Warm up JVM + python workers so per-query timings measure the job,
+    # not executor spin-up.
+    spark.range(0, 1_000_000, numPartitions=cpus).selectExpr(
+        "max(xxhash64(id))"
+    ).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # ---- headline: bloom dedup throughput on the synthetic pages table ----
+    # EP-B/EP-C workflow (SURVEY.md §3.2-3.3): build a filter over today's
+    # crawl (batch A), then dedup tomorrow's crawl (batch B, disjoint ids
+    # but overlapping texts) against it. Synthesis cost is excluded: pages
+    # are materialized once to a cached parquet, and the timed job reads
+    # parquet like any production scan.
+    from bloom_spark.io.pages import synthesize_pages
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import dedup_against_filter
+    from bloom_spark.sketch import BloomSketch
+
+    n_pages = max(100_000, int(sf * 20_000_000))
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", f"pages_{n_pages}"
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+        synthesize_pages(spark, n_pages + n_pages // 2, num_partitions=cpus * 2).write.mode(
+            "overwrite"
+        ).parquet(cache)
+    pages = spark.read.parquet(cache).where("text IS NOT NULL")
+    batch_a = pages.where(f"page_id < {n_pages}").select("url", "text")
+    batch_b = pages.where(f"page_id >= {n_pages}").select("url", "text")
+
+    t0 = time.perf_counter()
+    sketch, n_seen = build_sketch(
+        batch_a, ["text"], lambda: BloomSketch.from_fpr(n_pages, 1e-6)
+    )
+    survivors = dedup_against_filter(spark, batch_b, ["text"], sketch).count()
+    n_probed = n_pages // 2
+    dt = time.perf_counter() - t0
+    timings["pages_bloom_dedup"] = round(dt, 3)
+    docs_per_sec = (n_seen + n_probed) / dt if dt > 0 else 0.0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bloom_spark headline wall time (dedup + sketch queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "n_pages": int(n_seen),
+                "docs_per_sec": round(docs_per_sec, 1),
+                "pages_survivors": int(survivors),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
