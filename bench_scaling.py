@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north_rule).
+
+A real N vs 4N executor comparison needs a cluster; the sandbox stand-in
+(per the driver instruction) is the same job on the same input at
+local[N] and local[4N]. This script:
+
+1. materializes the synthetic Common-Crawl-style pages table once
+   (parquet, shared by both runs);
+2. runs the headline dedup job (Bloom segment build over batch A →
+   tree merge → broadcast probe of batch B) in a fresh subprocess per
+   parallelism level (clean JVM each, identical input, identical
+   partitioning);
+3. prints one JSON line with throughput at both levels + scaling
+   efficiency = (docs_per_sec[4N] / docs_per_sec[N]) / 4.
+
+Usage: python bench_scaling.py [--rows 4000000] [--low 8] [--high 32]
+Worker mode (internal): python bench_scaling.py --worker --cpus K ...
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _cache_dir(n_rows: int) -> str:
+    return os.path.join(REPO, ".bench_cache", f"pages_scaling_{n_rows}")
+
+
+def materialize(n_rows: int, partitions: int) -> str:
+    cache = _cache_dir(n_rows)
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return cache
+    from bloom_spark.io.pages import synthesize_pages
+    from bloom_spark.session import get_session
+
+    spark = get_session("scaling_gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    synthesize_pages(spark, n_rows + n_rows // 2, num_partitions=partitions).write.mode(
+        "overwrite"
+    ).parquet(cache)
+    spark.stop()
+    return cache
+
+
+def run_worker(cpus: int, n_rows: int, partitions: int) -> None:
+    """One timed dedup job at local[cpus]; prints one JSON line."""
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import dedup_against_filter
+    from bloom_spark.session import get_session
+    from bloom_spark.sketch import BloomSketch
+
+    spark = get_session(
+        f"scaling_{cpus}", master=f"local[{cpus}]", shuffle_partitions=partitions
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = spark.read.parquet(_cache_dir(n_rows)).where("text IS NOT NULL")
+    batch_a = pages.where(f"page_id < {n_rows}").select("url", "text")
+    batch_b = pages.where(f"page_id >= {n_rows}").select("url", "text")
+    # warm the executor python workers so both levels pay spin-up equally
+    # outside the timed section
+    batch_a.limit(10_000).count()
+
+    t0 = time.perf_counter()
+    sketch, n_seen = build_sketch(
+        batch_a, ["text"], lambda: BloomSketch.from_fpr(n_rows, 1e-6)
+    )
+    survivors = dedup_against_filter(spark, batch_b, ["text"], sketch).count()
+    dt = time.perf_counter() - t0
+    n_probed = pages.where(f"page_id >= {n_rows}").count()
+    docs = n_seen + n_probed
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "wall_s": round(dt, 3),
+                "docs": int(docs),
+                "docs_per_sec": round(docs / dt, 1),
+                "survivors": int(survivors),
+            }
+        ),
+        flush=True,
+    )
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--cpus", type=int)
+    args = ap.parse_args()
+
+    if args.worker:
+        run_worker(args.cpus, args.rows, args.partitions)
+        return
+
+    materialize(args.rows, args.partitions)
+    results = {}
+    for cpus in (args.low, args.high):
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--worker",
+                "--cpus",
+                str(cpus),
+                "--rows",
+                str(args.rows),
+                "--partitions",
+                str(args.partitions),
+            ],
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+            check=True,
+        )
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = results[args.low], results[args.high]
+    speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
+    efficiency = speedup / (args.high / args.low)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup throughput scaling (local[N] vs local[4N])",
+                "low": lo,
+                "high": hi,
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(efficiency, 3),
+                "rows": args.rows,
+                "partitions": args.partitions,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,7 +61,38 @@ class BloomSketch(Sketch):
         self.k = int(k)
         self.limit = int(limit) if limit is not None else None
         self.n_inserted = 0  # ≙ num_writes (container.rs:30)
+        # Sparse mode: a segment holding few keys keeps the raw (h1,h2)
+        # pairs (16 B/key) instead of the m-bit array, and promotes to
+        # dense once the pairs would outweigh the bitmap. This bounds a
+        # segment's transfer cost at min(16·n, m/8) bytes — at 10^12-doc
+        # scale partitions are dense; at test scale merges move KBs, not
+        # copies of a mostly-zero m-bit array. (Same idea as sparse HLL.)
+        self.dense = False
+        self.words: np.ndarray | None = None
+        self._pairs: list[np.ndarray] = []
+        self._n_pairs = 0
+
+    @property
+    def _sparse_threshold(self) -> int:
+        # densify when 16 bytes/pair ≥ m/8 bytes of bitmap
+        return max(1, self.m // 128)
+
+    def _densify(self) -> None:
+        if self.dense:
+            return
         self.words = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.dense = True
+        pairs, self._pairs, self._n_pairs = self._pairs, [], 0
+        for p in pairs:
+            word, mask = self._index(p[:, 0], p[:, 1])
+            np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+
+    def _canonical_pairs(self) -> np.ndarray:
+        """Sorted, deduplicated (n,2) uint64 pairs — order-invariant."""
+        if not self._pairs:
+            return np.zeros((0, 2), dtype=np.uint64)
+        allp = np.concatenate(self._pairs, axis=0)
+        return np.unique(allp, axis=0)
 
     # -- constructors (reference CLI parity) --------------------------------
     @classmethod
@@ -84,17 +115,27 @@ class BloomSketch(Sketch):
 
     def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
         """Unconditional insert ≙ ``set`` (container.rs:17). Vectorized:
-        one scatter-OR over the whole batch."""
+        sparse mode buffers the raw pairs; dense mode is one scatter-OR
+        over the whole batch."""
         if len(h1) == 0:
             return
-        word, mask = self._index(h1, h2)
-        np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+        if not self.dense:
+            self._pairs.append(
+                np.stack([to_uint64(h1), to_uint64(h2)], axis=1)
+            )
+            self._n_pairs += len(h1)
+            if self._n_pairs >= self._sparse_threshold:
+                self._densify()
+        else:
+            word, mask = self._index(h1, h2)
+            np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
         self.n_inserted += len(h1)
 
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Membership probe ≙ ``check`` (container.rs:20). bool[n]."""
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
+        self._densify()
         word, mask = self._index(h1, h2)
         return ((self.words[word] & mask) == mask).all(axis=1)
 
@@ -147,6 +188,7 @@ class BloomSketch(Sketch):
     def fill_ratio(self) -> float:
         """True popcount fill (the reference reports writes/bit instead —
         container.rs:33; we report both, SURVEY.md §2.5 M2)."""
+        self._densify()
         pop = int(np.bitwise_count(self.words).sum()) if hasattr(np, "bitwise_count") \
             else int(sum(bin(int(w)).count("1") for w in self.words))
         return pop / self.m
@@ -170,7 +212,20 @@ class BloomSketch(Sketch):
             raise ValueError(
                 f"incompatible bloom params: ({self.m},{self.k}) vs ({other.m},{other.k})"
             )
-        np.bitwise_or(self.words, other.words, out=self.words)
+        if self.dense and other.dense:
+            np.bitwise_or(self.words, other.words, out=self.words)
+        elif self.dense:
+            for p in other._pairs:
+                word, mask = self._index(p[:, 0], p[:, 1])
+                np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+        elif other.dense:
+            self._densify()
+            np.bitwise_or(self.words, other.words, out=self.words)
+        else:
+            self._pairs.extend(other._pairs)
+            self._n_pairs += other._n_pairs
+            if self._n_pairs >= self._sparse_threshold:
+                self._densify()
         self.n_inserted += other.n_inserted
         return self
 
@@ -180,19 +235,31 @@ class BloomSketch(Sketch):
             "k": self.k,
             "limit": self.limit,
             "n_inserted": self.n_inserted,
+            "dense": self.dense,
         }
 
     def _payload(self) -> bytes:
-        return self.words.tobytes()
+        if self.dense:
+            return self.words.tobytes()
+        return self._canonical_pairs().tobytes()
 
     @classmethod
     def _from_params(cls, params: dict, payload: bytes) -> "BloomSketch":
         s = cls(params["m"], params["k"], limit=params.get("limit"))
         s.n_inserted = int(params.get("n_inserted", 0))
-        words = np.frombuffer(payload, dtype=np.uint64)
-        if len(words) != len(s.words):
-            raise ValueError("bloom payload size mismatch")
-        s.words = words.copy()
+        # blobs written before sparse mode existed carry no "dense" key →
+        # they are dense payloads
+        if params.get("dense", True):
+            s.dense = True
+            words = np.frombuffer(payload, dtype=np.uint64)
+            if len(words) != (s.m + 63) // 64:
+                raise ValueError("bloom payload size mismatch")
+            s.words = words.copy()
+        else:
+            pairs = np.frombuffer(payload, dtype=np.uint64).reshape(-1, 2)
+            if len(pairs):
+                s._pairs = [pairs.copy()]
+                s._n_pairs = len(pairs)
         return s
 
     def to_b64(self) -> str:
