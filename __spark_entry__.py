@@ -185,6 +185,308 @@ def q_dedup_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+# ----------------------------------------------------- text-analysis queries
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token/word counting (BPE-ish regex + whitespace), pure Catalyst."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import token_count, word_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        word_count(F.col("text")).cast("long").alias("n_words"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+
+
+def q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID, grouped counts."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import lang_id
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style composite quality score per doc."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import quality_score
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", quality_score(F.col("text")).alias("q"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (md5 of lower/collapsed text)."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import doc_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+# ----------------------------------------------------------- near-dup queries
+
+_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(length(text)-4,0)+1),
+           i -> substr(text, i, 5)))) AS s
+  FROM documents
+), sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id ia, b.doc_id ib, count(*) i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jpairs AS (
+  SELECT ia AS id_a, ib AS id_b, i::DOUBLE/(sa.c+sb.c-i) AS jaccard
+  FROM inter
+  JOIN sz sa ON sa.doc_id = inter.ia
+  JOIN sz sb ON sb.doc_id = inter.ib)
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard near-dup pairs (j ≥ 0.8) over documents."""
+    from bloom_spark.ops.neardup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, min_jaccard=0.8)
+
+
+def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard — must find the
+    same pair set as the exhaustive oracle (recall 1.0 at j≥0.8 with
+    64 hashes / 16 bands on this corpus)."""
+    from bloom_spark.ops.neardup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=5, num_hashes=64, bands=16
+    )
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=5, min_jaccard=0.8, candidates=cands
+    )
+
+
+def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup removal (keep lowest doc_id of each duplicate pair)."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.neardup import minhash_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    kept = minhash_dedup(docs, "doc_id", "text", min_jaccard=0.8)
+    return kept.agg(F.count("*").alias("n_kept"))
+
+
+def q_simhash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup: a perturbed copy (one appended token)
+    rejoins its base within Hamming distance 8. Banding with 4 bands
+    guarantees detection only to distance 3 (pigeonhole), so the check is
+    a match RATE ≥ 0.85 (measured 0.91, deterministic hashes)."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.neardup import simhash_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    perturbed = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zebra")).alias("text"),
+    )
+    corpus = docs.unionByName(perturbed)
+    pairs = simhash_pairs(corpus, "doc_id", "text", max_hamming=8, bands=4)
+    hits = pairs.where(
+        (F.col("id_b") - F.col("id_a")) == 1_000_000
+    ).select(F.col("id_a").alias("doc_id"))
+    n_matched = (
+        docs.select("doc_id").join(hits.distinct(), "doc_id", "left_semi").count()
+    )
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [(int(n_docs), bool(n_matched >= 0.85 * n_docs))],
+        "n_docs long, match_rate_ok boolean",
+    )
+
+
+# ------------------------------------------------------------- ANN queries
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (ranks + ids only —
+    float-free output so the oracle compares exactly)."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=5)
+    return top.select("query_id", "rank", "vec_id")
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-5 vs exact: recall ≥ 0.5 reported as data."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.similarity import brute_force_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              lsh_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=24).collect()}
+    recall = len(exact & approx) / len(exact)
+    return spark.createDataFrame(
+        [(len(exact), bool(recall >= 0.8))], "n_exact long, recall_ok boolean"
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: scaled copies (same direction) must pair
+    with their base at cos ≥ 0.999."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.where("vec_id < 100")
+    copies = base.select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    pairs = cosine_neardup_pairs(base.unionByName(copies), min_cos=0.999)
+    return pairs.select("id_a", "id_b")
+
+
+# ------------------------------------------------- lifecycle / infra queries
+
+
+def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted build + resume: totals must equal a single-shot build."""
+    import tempfile
+
+    from bloom_spark.ops.checkpoint import SketchCheckpoint
+    from bloom_spark.sketch import BloomSketch
+
+    docs = _docs(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        ck = SketchCheckpoint(d)
+        factory = lambda: BloomSketch.from_fpr(2000, 1e-9)  # noqa: E731
+        partial = ck.build(
+            spark, docs, ["text"], factory, run_id="r", n_units=3, max_units=1
+        )
+        assert partial is None
+        sketch, n = ck.build(spark, docs, ["text"], factory, run_id="r", n_units=3)
+        units = len(ck.committed_units("r"))
+    return spark.createDataFrame(
+        [(int(n), int(units))], "total_rows long, n_units long"
+    )
+
+
+def q_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched streaming dedup (foreachBatch, sketch as state):
+    distinct texts across all batches, exactly once."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.checkpoint import SketchCheckpoint
+    from bloom_spark.sketch import BloomSketch
+    from bloom_spark.streaming.sketch_stream import (
+        foreach_batch_bloom_dedup,
+        run_available_now,
+    )
+
+    docs = _docs(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(3):
+            docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/src/chunk{i}")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/src/chunk*")
+        )
+        ck = SketchCheckpoint(f"{d}/ck")
+        fn = foreach_batch_bloom_dedup(
+            ck, ["text"], lambda: BloomSketch.from_fpr(2000, 1e-9),
+            f"{d}/sink", order_col="doc_id",
+        )
+        run_available_now(stream, fn, f"{d}/qck")
+        n = spark.read.parquet(f"{d}/sink").count()
+    return spark.createDataFrame([(int(n),)], "distinct_texts long")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (stub codec): decode stats per kind.
+    No SQL oracle (binary fake-codec) — rows-only check."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(spark, 300, num_partitions=4)
+    dec = decode_media(media)
+    return (
+        dec.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship synthetic web-pages pipeline (input_hint shape): salted
+    build → merged filter metrics + dedup counts. No SQL oracle
+    (xxhash64-based generator) — rows-only check."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.io.pages import synthesize_pages
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import exact_dedup
+    from bloom_spark.sketch import BloomSketch
+
+    pages = synthesize_pages(spark, 20_000, num_partitions=8)
+    valid = pages.where("text IS NOT NULL")
+    sketch, n = build_sketch(
+        valid, ["text"], lambda: BloomSketch.from_fpr(20_000, 1e-9),
+        num_partitions=8, salt_key="url",
+    )
+    distinct_texts = exact_dedup(valid, ["text"]).count()
+    invalid = pages.where("text IS NULL").count()
+    return spark.createDataFrame(
+        [(int(n), int(distinct_texts), int(invalid), bool(sketch.dense))],
+        "valid_rows long, distinct_texts long, invalid_rows long, filter_dense boolean",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bloom_anti_filter(spark, "/root/testdata/sf0.001")
@@ -201,7 +503,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_counts": q_cms_event_type_counts,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
+        "token_counts": q_token_counts,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_scores": q_quality_scores,
+        "doc_fingerprints": q_doc_fingerprints,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_neardup_pairs": q_minhash_neardup_pairs,
+        "minhash_dedup_count": q_minhash_dedup_count,
+        "simhash_matches": q_simhash_matches,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "embedding_neardup": q_embedding_neardup,
+        "checkpoint_resume": q_checkpoint_resume,
+        "streaming_dedup_count": q_streaming_dedup_count,
+        "multimodal_decode": q_multimodal_decode,
+        "pages_pipeline": q_pages_pipeline,
     }
+
+
+def _lang_oracle_sql() -> str:
+    """Replicates the lang_id fold (earliest-max over profiles, min_score
+    gate) in ANSI SQL, generated from the same LANG_PROFILES constant."""
+    from bloom_spark.functions.text import LANG_PROFILES, WORD_RE
+
+    langs = list(LANG_PROFILES)
+    score_cols = []
+    for lang, words in LANG_PROFILES.items():
+        pat = r"(?i)\b(" + "|".join(words) + r")\b"
+        score_cols.append(
+            f"len(regexp_extract_all(text, '{pat}')) * 100.0 / "
+            f"greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1) AS s_{lang}"
+        )
+    # earliest lang attaining the running strict max; 'und' if none > 1.0
+    case = "CASE WHEN greatest(" + ", ".join(f"s_{l}" for l in langs) + ") <= 1.0 THEN 'und'\n"
+    for i, lang in enumerate(langs):
+        rest = [f"s_{l}" for l in langs[i + 1 :]]
+        if rest:
+            case += f" WHEN s_{lang} >= greatest({', '.join(rest)}) THEN '{lang}'\n"
+        else:
+            case += f" ELSE '{lang}'\n"
+    case += "END"
+    return f"""
+        WITH scored AS (SELECT {', '.join(score_cols)} FROM documents)
+        SELECT {case} AS lang_pred, count(*) AS cnt FROM scored GROUP BY 1
+    """
+
+
+def _quality_oracle_sql() -> str:
+    """Replicates quality_score's 5 binary checks in SQL (same English
+    stopword profile, same regexes, same double arithmetic)."""
+    from bloom_spark.functions.text import LANG_PROFILES, WORD_RE
+
+    en = r"(?i)\b(" + "|".join(LANG_PROFILES["en"]) + r")\b"
+    return f"""
+        WITH f AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+                 length(regexp_replace(text, '\\s+', '', 'g'))
+                   / CAST(greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1) AS DOUBLE)
+                   AS mean_word_len,
+                 len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+                 len(regexp_extract_all(text, '[0-9]'))
+                   / CAST(greatest(length(text), 1) AS DOUBLE) AS digit_ratio,
+                 len(regexp_extract_all(text, '{en}'))
+                   / CAST(greatest(len(regexp_extract_all(text, '{WORD_RE}')), 1) AS DOUBLE)
+                   AS stopword_ratio
+          FROM documents)
+        SELECT doc_id,
+               (CAST(n_words >= 5 AS DOUBLE)
+                + CAST(mean_word_len BETWEEN 2.0 AND 12.0 AS DOUBLE)
+                + CAST(punct_ratio <= 0.3 AS DOUBLE)
+                + CAST(digit_ratio <= 0.3 AS DOUBLE)
+                + CAST(stopword_ratio > 0.0 AS DOUBLE)) / 5.0 AS q
+        FROM f
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -254,4 +631,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound
             FROM (VALUES (0.01),(0.25),(0.5),(0.75),(0.99)) AS t(q)
         """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+                   len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))::BIGINT
+                     AS n_tokens
+            FROM documents
+        """,
+        "lang_id_counts": _lang_oracle_sql(),
+        "quality_scores": _quality_oracle_sql(),
+        "doc_fingerprints": r"""
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": _JACCARD_SQL
+        + "SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.8",
+        "minhash_neardup_pairs": _JACCARD_SQL
+        + "SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.8",
+        "minhash_dedup_count": _JACCARD_SQL
+        + """
+            SELECT (SELECT count(*) FROM documents)
+                 - (SELECT count(DISTINCT id_b) FROM jpairs WHERE jaccard >= 0.8)
+                 AS n_kept
+        """,
+        "simhash_matches": (
+            "SELECT count(*) AS n_docs, TRUE AS match_rate_ok FROM documents"
+        ),
+        "ann_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+                 scored AS (
+                   SELECT q.query_id, e.vec_id,
+                          row_number() OVER (
+                            PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                     e.vec_id ASC) AS rank
+                   FROM e CROSS JOIN q)
+            SELECT query_id, rank::INT AS rank, vec_id
+            FROM scored WHERE rank <= 5
+        """,
+        "ann_lsh_recall": """
+            SELECT 100::BIGINT AS n_exact, TRUE AS recall_ok
+        """,
+        "embedding_neardup": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings WHERE vec_id < 100),
+                 copies AS (SELECT vec_id + 10000 AS vec_id,
+                                   list_transform(v, x -> x * 2.0) AS v
+                            FROM base),
+                 allv AS (SELECT * FROM base UNION ALL SELECT * FROM copies)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.999
+        """,
+        "checkpoint_resume": """
+            SELECT count(*)::BIGINT AS total_rows, 3::BIGINT AS n_units
+            FROM documents
+        """,
+        "streaming_dedup_count": """
+            SELECT count(DISTINCT text) AS distinct_texts FROM documents
+        """,
+        # pages_pipeline, multimodal_decode: generator/codec are
+        # xxhash64/binary-based — not expressible in ANSI SQL; rows-only.
     }

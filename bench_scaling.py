@@ -63,15 +63,21 @@ def run_worker(cpus: int, n_rows: int, partitions: int) -> None:
     pages = spark.read.parquet(_cache_dir(n_rows)).where("text IS NOT NULL")
     batch_a = pages.where(f"page_id < {n_rows}").select("url", "text")
     batch_b = pages.where(f"page_id >= {n_rows}").select("url", "text")
-    # warm the executor python workers so both levels pay spin-up equally
-    # outside the timed section
-    batch_a.limit(10_000).count()
 
+    def job(a, b) -> tuple[int, int]:
+        sketch, n_seen = build_sketch(
+            a, ["text"], lambda: BloomSketch.from_fpr(n_rows, 1e-6)
+        )
+        return n_seen, dedup_against_filter(spark, b, ["text"], sketch).count()
+
+    # Warm run on a small slice: python worker fork + numpy/pandas imports
+    # and the first broadcast distribution are one-time per-executor costs
+    # a long job amortizes; the timed run measures steady-state throughput
+    # (what the cluster criterion is about) without paying full wall time
+    # twice.
+    job(batch_a.limit(200_000), batch_b.limit(100_000))
     t0 = time.perf_counter()
-    sketch, n_seen = build_sketch(
-        batch_a, ["text"], lambda: BloomSketch.from_fpr(n_rows, 1e-6)
-    )
-    survivors = dedup_against_filter(spark, batch_b, ["text"], sketch).count()
+    n_seen, survivors = job(batch_a, batch_b)
     dt = time.perf_counter() - t0
     n_probed = pages.where(f"page_id >= {n_rows}").count()
     docs = n_seen + n_probed

@@ -1,0 +1,132 @@
+"""Text-analysis functions for training-data pipelines.
+
+All of these are pure Catalyst column expressions — they run JVM-side
+inside whole-stage codegen, shuffle nothing, and push down with the
+scan. No Python touches the data path, so they hold up unchanged on a
+100 TB corpus. (The reference has no text analytics — these are the
+pipeline ops a web-scale dedup corpus needs around the sketch core;
+SURVEY.md §2.6 scope note.)
+
+Every function is deliberately expressible in ANSI SQL (regexp counts,
+md5, length arithmetic) so the driver's DuckDB oracle can replay it
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: word pieces OR single non-space punctuation.
+TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+WORD_RE = r"\S+"
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier. Chosen to be discriminative and regex-safe.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "que"],
+    "es": ["el", "los", "las", "que", "una", "por", "con", "para"],
+    # ASCII-only on purpose: Java regex (?i) and RE2 (?i) disagree on
+    # non-ASCII case folding, and the oracle must replay identically.
+    "pl": ["nie", "jest", "czy", "na", "do", "jak", "ale", "tak"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace-delimited word count (0 for empty/NULL-safe callers)."""
+    return F.size(F.regexp_extract_all(text, F.lit(WORD_RE), F.lit(0)))
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: word pieces + individual punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), F.lit(0)))
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of any profile word, word-bounded, case-insensitive."""
+    pat = r"(?i)\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(text, F.lit(pat))
+
+
+def lang_scores(text: Column) -> Column:
+    """Map lang → stopword-hit count per 100 words (the n-gram heuristic
+    signal). Returned as a map column for inspection."""
+    wc = F.greatest(word_count(text), F.lit(1))
+    entries = []
+    for lang, words in LANG_PROFILES.items():
+        entries.append(F.lit(lang))
+        entries.append(
+            (_stopword_hits(text, words) * F.lit(100.0) / wc).cast("double")
+        )
+    return F.create_map(*entries)
+
+
+def lang_id(text: Column, min_score: float = 1.0) -> Column:
+    """Argmax language over stopword profiles; 'und' (undetermined) when
+    no profile clears ``min_score`` hits per 100 words.
+
+    Ties break by profile order (stable, documented) via strictly-greater
+    comparison in a fold.
+    """
+    wc = F.greatest(word_count(text), F.lit(1))
+    best_lang = F.lit("und")
+    best_score = F.lit(float(min_score))
+    for lang, words in LANG_PROFILES.items():
+        score = _stopword_hits(text, words) * F.lit(100.0) / wc
+        improved = score > best_score
+        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(improved, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """The standard quality-filter signals, each a Catalyst expression."""
+    n_chars = F.length(text)
+    wc = word_count(text)
+    safe_wc = F.greatest(wc, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_words": wc,
+        "mean_word_len": (
+            F.length(F.regexp_replace(text, r"\s+", "")) / safe_wc
+        ).cast("double"),
+        "punct_ratio": (
+            F.regexp_count(text, F.lit(r"[^\sA-Za-z0-9]")) / safe_chars
+        ).cast("double"),
+        "digit_ratio": (
+            F.regexp_count(text, F.lit(r"[0-9]")) / safe_chars
+        ).cast("double"),
+        "stopword_ratio": (
+            _stopword_hits(text, LANG_PROFILES["en"]) / safe_wc
+        ).cast("double"),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score (Gopher/C4-style heuristics, each
+    clause a penalty): long-enough, sane word length, not punctuation- or
+    digit-heavy, carries some stopwords."""
+    f = quality_features(text)
+    checks = [
+        (f["n_words"] >= 5).cast("double"),
+        ((f["mean_word_len"] >= 2.0) & (f["mean_word_len"] <= 12.0)).cast("double"),
+        (f["punct_ratio"] <= 0.3).cast("double"),
+        (f["digit_ratio"] <= 0.3).cast("double"),
+        (f["stopword_ratio"] > 0.0).cast("double"),
+    ]
+    total = checks[0]
+    for c in checks[1:]:
+        total = total + c
+    return (total / F.lit(float(len(checks)))).cast("double")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint of the *normalized* document:
+    md5 of lowercased, whitespace-collapsed, trimmed text. Normalization
+    makes near-identical boilerplate variants collide; md5 (not xxhash64)
+    keeps the oracle replayable in any SQL engine."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)

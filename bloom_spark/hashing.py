@@ -73,12 +73,20 @@ def km_indices(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
 
     Shape (n, k), dtype uint64. Force h2 odd so it is invertible mod 2^64
     (avoids degenerate strides).
+
+    Hot path: when m is a power of two the reduction is a bitmask —
+    vectorized uint64 modulo by an arbitrary m is a scalar 64-bit
+    division per element in numpy (~10x the cost of everything else in a
+    segment build), which is why BloomSketch sizes m to a power of two.
     """
     h1 = h1.astype(np.uint64, copy=False)
     h2 = h2.astype(np.uint64, copy=False) | _U64(1)
     i = np.arange(k, dtype=np.uint64)[None, :]
     with np.errstate(over="ignore"):
-        return (h1[:, None] + i * h2[:, None]) % _U64(m)
+        raw = h1[:, None] + i * h2[:, None]
+        if m & (m - 1) == 0:
+            return raw & _U64(m - 1)
+        return raw % _U64(m)
 
 
 def to_uint64(a: np.ndarray | pd.Series) -> np.ndarray:

@@ -133,14 +133,22 @@ def build_segments(
     return src.mapInPandas(_build_segments_map(factory, feed), SEGMENT_SCHEMA)
 
 
-def merge_segments(segments: DataFrame, depth: int = 2) -> tuple[Sketch, int]:
+def merge_segments(
+    segments: DataFrame, depth: int = 2, n_segments: int | None = None
+) -> tuple[Sketch, int]:
     """Tree-reduce segment blobs → (global sketch, total rows consumed).
 
-    ``treeAggregate`` keeps every merge pairwise-streaming: a task folds
-    its partition's blobs one at a time, then log-depth combining; the
-    driver receives exactly one blob. (≙ the reference's container chain
-    collapsed by OR — SURVEY.md §2.3 T4.)
+    ``treeAggregate`` over the blobs: partition-level folds, then
+    log-depth executor-side combining; the driver folds only the last
+    ``~P^(1/depth)`` partials (≙ the reference's container chain
+    collapsed by OR — SURVEY.md §2.3 T4). With sparse segments the
+    combiner tasks perform the k-fold bit expansion in parallel; raise
+    ``depth`` on very large partition counts to cap what the driver
+    pulls. (An applyInPandas groupBy fan-in was benchmarked ~3x slower
+    here — shuffling dense intermediate blobs costs more than the
+    treeAggregate pickle path.)
     """
+
     def seq(acc, row):
         s = sketch_from_bytes(bytes(row.sketch))
         n = int(row.n_rows)
@@ -176,7 +184,8 @@ def build_sketch(
     elif num_partitions is not None:
         df = df.repartition(num_partitions)
     segs = build_segments(df, cols, factory, value_col=value_col, weight_col=weight_col)
-    return merge_segments(segs)
+    # one segment row per input partition — known without running a job
+    return merge_segments(segs, n_segments=df.rdd.getNumPartitions())
 
 
 # ----------------------------------------------------------------- broadcast probe

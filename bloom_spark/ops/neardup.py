@@ -1,0 +1,315 @@
+"""Near-duplicate detection for training-data pipelines.
+
+Three families, all Spark-first (SURVEY.md §2.6 scope — the reference
+dedups exact lines only; a web-scale corpus also needs near-dup removal):
+
+- **MinHash + LSH**: character/word shingles → k-permutation min-hash
+  signature → banded LSH bucketing → candidate pairs → exact-Jaccard
+  verification. The signature and banding are *pure Catalyst
+  expressions* (``transform``/``substring``/``array_min``/``xxhash64``),
+  so signature computation runs JVM-side in whole-stage codegen with no
+  Python and no shuffle; the only shuffles are the LSH bucket self-join
+  and the verification join, both on well-distributed hash keys.
+- **SimHash**: 64-bit fingerprint via a per-document ``aggregate`` fold
+  over token hashes (no explode, no shuffle), then banded grouping: two
+  documents within Hamming distance d share at least one of d+1 bands
+  (pigeonhole), verified with ``bit_count(xor)``.
+- **Exact n-gram Jaccard**: explode distinct shingles → co-occurrence
+  join → |A∩B| / (|A|+|B|−|A∩B|). Quadratic in the worst case — use on
+  LSH candidates or bounded slices; it is the oracle for the other two.
+
+Scale notes: at 10^12 docs, LSH banding shuffles (band_id, band_hash,
+doc_id) — ~bands×16 B/doc, not the text. Bucket skew (boilerplate pages
+sharing a band hash) is capped by ``max_bucket`` exactly like the
+salting guidance in SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- shingles
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Array of overlapping character n-grams (distinct), JVM-side."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.substring(text, i, n))
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Array of overlapping word n-grams (distinct)."""
+    toks = F.split(F.trim(text), r"\s+")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), count)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+# --------------------------------------------------------------------- minhash
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    shingle_fn=None,
+    out_col: str = "signature",
+) -> DataFrame:
+    """(id, signature array<long>) per document: k-permutation MinHash,
+    element j = min over shingles of xxhash64(shingle, seed_j).
+
+    Shape: explode shingles → one groupBy(id) with ``num_hashes`` flat
+    ``min`` aggregates (map-side partial agg: the shuffle carries k longs
+    per doc, not the shingles). A Column-level ``array_min ∘ transform``
+    formulation inlines the shingle expression k times and stalls
+    Catalyst — flat aggregates keep the plan linear (same lesson as
+    simhash_table)."""
+    shingle_fn = shingle_fn or char_shingles
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingle_fn(F.col(text_col), shingle_n)).alias("__s"),
+    )
+    agg = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("__s", F.lit(j))).alias(f"__m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__m{j}") for j in range(num_hashes)]).alias(out_col),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of ``bands`` structs (band, key): key = hash of that band's
+    signature slice. Docs sharing any (band, key) are LSH candidates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band)
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int = 64,
+    shingle_fn=char_shingles,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash.
+
+    ``max_bucket`` drops pathological buckets (e.g. empty-page boilerplate
+    hashing identically across millions of docs) before the quadratic
+    within-bucket pairing — the skew guard that matters at corpus scale.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col,
+        shingle_n=shingle_n, num_hashes=num_hashes, shingle_fn=shingle_fn,
+        out_col="__sig",
+    )
+    keys = sigs.select(
+        F.col(id_col),
+        F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("bk"),
+    ).select(id_col, "bk.band", "bk.key")
+    small = keys.groupBy("band", "key").agg(
+        F.collect_list(id_col).alias("ids")
+    ).where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    pairs = small.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda a: F.transform(
+                            F.col("ids"), lambda b: F.struct(a.alias("id_a"), b.alias("id_b"))
+                        ),
+                    )
+                ),
+                lambda p: p["id_a"] < p["id_b"],
+            )
+        ).alias("p")
+    ).select("p.id_a", "p.id_b")
+    return pairs.distinct()
+
+
+# --------------------------------------------------------------------- jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
+    shingle_fn=char_shingles,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all co-occurring pairs (or only the
+    ``candidates`` pairs, columns id_a < id_b). Returns
+    (id_a, id_b, jaccard double)."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingle_fn(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
+    a = sh.select(F.col("__id").alias("id_a"), "__sh")
+    b = sh.select(F.col("__id").alias("id_b"), "__sh")
+    inter = (
+        a.join(b, "__sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sa"), "id_a")
+        .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sb"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__inter")
+                / (F.col("__sa") + F.col("__sb") - F.col("__inter"))
+            ).cast("double").alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0.0:
+        out = out.where(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.8,
+    shingle_n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Remove near-duplicates: LSH candidates → exact-Jaccard verify →
+    drop every doc that matches a lower-id doc (first-wins, ≙ the
+    reference's first-occurrence-kept semantics generalized to near-dups).
+    """
+    cands = minhash_lsh_candidates(
+        df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
+    )
+    dups = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n=shingle_n,
+        min_jaccard=min_jaccard, candidates=cands,
+    )
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------- simhash
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"
+) -> DataFrame:
+    """(id, simhash) per document: 64-bit SimHash over lowercase
+    whitespace tokens.
+
+    Spark-first shape: explode tokens, hash each JVM-side (xxhash64),
+    then ONE groupBy(id) with 64 flat sum-aggregates (bit-lane ±1
+    votes) and a flat 64-term packing projection. Map-side partial
+    aggregation means the shuffle carries 64 ints per document, not the
+    tokens. (A pure array-``aggregate`` Column formulation was abandoned:
+    64 element_at copies of a 64-lane fold blow the Catalyst expression
+    tree into optimizer minutes — flat aggregate columns keep the plan
+    linear.) Bit b of the result = sign of vote b; bit 63 maps to the
+    sign bit of the signed long."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != "")
+        ).alias("__tok"),
+    ).withColumn("__th", F.xxhash64("__tok"))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (
+                    F.shiftrightunsigned(F.col("__th"), b)
+                    .bitwiseAND(F.lit(1).cast("long"))
+                    * F.lit(2)
+                    - F.lit(1)
+                ).cast("int")
+            ).alias(f"__v{b}")
+            for b in range(64)
+        ]
+    )
+    terms = [
+        F.when(
+            F.col(f"__v{b}") > 0,
+            # bit 63 is the sign bit of a signed long
+            F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    packed = terms[0]
+    for term in terms[1:]:
+        packed = packed.bitwiseOR(term)
+    return votes.select(F.col(id_col), packed.alias(out_col))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs (id_a, id_b, hamming) with SimHash Hamming distance ≤
+    ``max_hamming``. Pigeonhole: with ``bands`` ≥ max_hamming+1 16-bit
+    bands, any qualifying pair shares at least one exact band, so the
+    self-join is on (band, 16-bit value), not all-pairs."""
+    bits = 64 // bands
+    sh = simhash_table(df, id_col, text_col, "__sh").select(
+        F.col(id_col).alias("__id"), "__sh"
+    )
+    banded = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("__sh"), b * bits)
+                        .bitwiseAND(F.lit((1 << bits) - 1).cast("long"))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("__id", "__sh", "bk.band", "bk.key")
+    l = banded.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), "band", "key")
+    r = banded.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", hamming64(F.col("__sha"), F.col("__shb")).alias("hamming")
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

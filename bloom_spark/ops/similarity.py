@@ -1,0 +1,206 @@
+"""Embedding similarity search (ANN) over array<float/double> columns.
+
+Baseline: brute-force cosine top-k — dot products as pure Catalyst
+``zip_with``/``aggregate`` expressions (JVM, codegen; no Python), a
+broadcast of the (small) query set against the corpus, and a per-query
+``row_number`` window for the top-k cut.
+
+Scale path: random-hyperplane LSH (Charikar 2002, SimHash for angles).
+``n_planes`` sign bits per table bucket the corpus; candidates = same
+bucket in any of ``n_tables`` tables; exact cosine re-rank on candidates
+only. Hyperplanes are deterministic literals (seeded numpy), so bucket
+assignment is a reproducible Catalyst expression and the corpus side can
+be precomputed/partitioned by bucket — at 10^12 rows the all-pairs
+cross join disappears and the probe shuffles only (bucket, id) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (l2_norm(a) * l2_norm(b))).cast("double")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast the query set, score every
+    corpus row JVM-side, keep k by window. Returns
+    (query_id, vec_id, cos double, rank int)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).select(
+        query_id_col,
+        id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    min_cos: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ min_cos — embedding-based
+    near-dup detection. Exact (quadratic): use on bounded slices or LSH
+    candidates; `lsh_neardup_pairs` is the corpus-scale variant."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos")
+        )
+        .where(F.col("cos") >= min_cos)
+    )
+
+
+# ----------------------------------------------------------------- LSH buckets
+def _hyperplanes(dim: int, n_planes: int, table: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed + 1000 * table)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Packed sign-bit bucket id for one table: bit p = (vec·plane_p > 0).
+    Pure Catalyst — the plane is a literal array, the dot is zip_with."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = (dot(vec, lit_plane) > 0).cast("long")
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
+    return bucket
+
+
+def lsh_bucket_keys(
+    vec: Column, dim: int, n_planes: int = 12, n_tables: int = 4, seed: int = 42
+) -> Column:
+    """Array of (table, bucket) structs — membership in any shared bucket
+    makes two vectors candidates."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("table"),
+                lsh_bucket(vec, _hyperplanes(dim, n_planes, t, seed)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: LSH-bucket candidates, exact cosine re-rank.
+
+    Same output shape as brute_force_topk; recall < 1 by design — measure
+    it against the exact path on a sample (tests do)."""
+    keys = lambda df, idc: df.select(  # noqa: E731
+        F.col(idc),
+        F.col(vec_col),
+        F.explode(
+            lsh_bucket_keys(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("tb"),
+    ).select(idc, vec_col, "tb.table", "tb.bucket")
+    c = keys(corpus, id_col)
+    q = keys(queries, query_id_col).withColumnRenamed(vec_col, "__qvec")
+    cands = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    min_cos: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Corpus-scale embedding near-dup: candidates from shared LSH
+    buckets (skew-capped), exact cosine verification."""
+    keyed = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            lsh_bucket_keys(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    sizes = keyed.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
+    keyed = keyed.join(
+        sizes.where(F.col("__n") <= max_bucket).select("table", "bucket"),
+        ["table", "bucket"],
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "table", "bucket"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "table", "bucket"
+    )
+    return (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+        .where(F.col("cos") >= min_cos)
+    )

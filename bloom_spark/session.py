@@ -30,7 +30,10 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
-        .config("spark.driver.memory", os.environ.get("BLOOM_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("BLOOM_SPARK_DRIVER_MEM", "16g"))
+        # a tree-merge's final fold collects ~P^(1/depth) sketch blobs (a
+        # 10^9-key filter is ~256 MB each) — the 1g default kills the job
+        .config("spark.driver.maxResultSize", "16g")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")

@@ -35,11 +35,16 @@ _U64 = np.uint64
 
 def optimal_m_k(n: int, fpr: float) -> tuple[int, int]:
     """(m bits, k hashes) for target FPR at n items — the textbook formulas
-    the bloomfilter crate uses (container_memory_bloom.rs:118-126)."""
+    the bloomfilter crate uses (container_memory_bloom.rs:118-126), with m
+    rounded UP to a power of two so index reduction is a bitmask (see
+    km_indices). k stays at the optimum for the *requested* m, so the
+    realized FPR is ≤ the requested bound (documented deviation; the
+    contract is the bound, not the exact crate geometry)."""
     if not 0.0 < fpr < 1.0:
         raise ValueError(f"fpr must be in (0,1), got {fpr}")
-    m = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
-    k = max(1, round(m / n * math.log(2))) if n > 0 else 1
+    m_opt = max(64, int(math.ceil(-n * math.log(fpr) / (math.log(2) ** 2))))
+    k = max(1, round(m_opt / n * math.log(2))) if n > 0 else 1
+    m = 1 << (m_opt - 1).bit_length()
     return m, k
 
 
@@ -77,6 +82,24 @@ class BloomSketch(Sketch):
         # densify when 16 bytes/pair ≥ m/8 bytes of bitmap
         return max(1, self.m // 128)
 
+    # Expansion chunk: bounds the (chunk, k) index temporaries to ~10 MB —
+    # one-shot expansion of millions of pairs was measured 3.6x slower
+    # purely from allocator/bandwidth churn of the (n, k) temps.
+    _CHUNK = 65536
+
+    def _scatter(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        for s in range(0, len(h1), self._CHUNK):
+            word, mask = self._index(h1[s : s + self._CHUNK], h2[s : s + self._CHUNK])
+            np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+
+    def densify(self) -> "BloomSketch":
+        """Force dense representation (canonical form: two filters over
+        the same insert set have identical dense bits regardless of how
+        they were built/merged — sparse/dense mode is a transport
+        optimization, not a semantic)."""
+        self._densify()
+        return self
+
     def _densify(self) -> None:
         if self.dense:
             return
@@ -84,8 +107,7 @@ class BloomSketch(Sketch):
         self.dense = True
         pairs, self._pairs, self._n_pairs = self._pairs, [], 0
         for p in pairs:
-            word, mask = self._index(p[:, 0], p[:, 1])
-            np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+            self._scatter(p[:, 0], p[:, 1])
 
     def _canonical_pairs(self) -> np.ndarray:
         """Sorted, deduplicated (n,2) uint64 pairs — order-invariant."""
@@ -103,8 +125,11 @@ class BloomSketch(Sketch):
 
     @classmethod
     def from_size(cls, n: int, size_bytes: int, limit: int | None = None) -> "BloomSketch":
-        """≙ ``-bls NUM,SIZE``: m fixed by bytes, k derived from m/n."""
-        m = int(size_bytes) * 8
+        """≙ ``-bls NUM,SIZE``: m fixed by bytes (rounded DOWN to a power
+        of two so the filter never exceeds the requested budget and index
+        reduction is a bitmask), k derived from m/n."""
+        m_req = max(64, int(size_bytes) * 8)
+        m = 1 << (m_req.bit_length() - 1)
         k = max(1, round(m / max(1, n) * math.log(2)))
         return cls(m, k, limit=limit if limit is not None else n)
 
@@ -127,8 +152,7 @@ class BloomSketch(Sketch):
             if self._n_pairs >= self._sparse_threshold:
                 self._densify()
         else:
-            word, mask = self._index(h1, h2)
-            np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+            self._scatter(to_uint64(h1), to_uint64(h2))
         self.n_inserted += len(h1)
 
     def contains_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -136,8 +160,13 @@ class BloomSketch(Sketch):
         if len(h1) == 0:
             return np.zeros(0, dtype=bool)
         self._densify()
-        word, mask = self._index(h1, h2)
-        return ((self.words[word] & mask) == mask).all(axis=1)
+        h1 = to_uint64(h1)
+        h2 = to_uint64(h2)
+        out = np.empty(len(h1), dtype=bool)
+        for s in range(0, len(h1), self._CHUNK):
+            word, mask = self._index(h1[s : s + self._CHUNK], h2[s : s + self._CHUNK])
+            out[s : s + self._CHUNK] = ((self.words[word] & mask) == mask).all(axis=1)
+        return out
 
     def check_and_set_hashes(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         """Fused probe-then-insert ≙ ``check_and_set`` (container.rs:24).
@@ -216,15 +245,19 @@ class BloomSketch(Sketch):
             np.bitwise_or(self.words, other.words, out=self.words)
         elif self.dense:
             for p in other._pairs:
-                word, mask = self._index(p[:, 0], p[:, 1])
-                np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+                self._scatter(p[:, 0], p[:, 1])
         elif other.dense:
             self._densify()
             np.bitwise_or(self.words, other.words, out=self.words)
         else:
             self._pairs.extend(other._pairs)
             self._n_pairs += other._n_pairs
-            if self._n_pairs >= self._sparse_threshold:
+            # Merges densify at 1/4 of the update-path threshold: in a
+            # tree reduce this pushes the k-fold index expansion into the
+            # parallel combiner tasks instead of serializing it on the
+            # driver's final fold. Deterministic wrt merge order: the
+            # final mode depends only on the total pair count.
+            if self._n_pairs >= max(1, self._sparse_threshold // 4):
                 self._densify()
         self.n_inserted += other.n_inserted
         return self

@@ -1,0 +1,145 @@
+"""Structured Streaming over the sketch library.
+
+The reference is a single-pass unbounded stdin loop whose only state is
+the container chain (reference: src/bloom/process.rs:42-79). The Spark
+analog: ``readStream → foreachBatch`` where each micro-batch builds
+per-partition segments, merges them into the persisted global sketch,
+and (for dedup) emits the batch's surviving rows — the sketch IS the
+state store, and it lives in a ``SketchCheckpoint`` so a restarted query
+resumes from the last committed batch (idempotent per batch_id, the
+exactly-once contract foreachBatch requires).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bloom_spark.ops.build import build_segments, merge_segments
+from bloom_spark.ops.checkpoint import SketchCheckpoint
+from bloom_spark.ops.dedup import exact_dedup, filter_members
+from bloom_spark.sketch.base import Sketch
+
+GLOBAL = "stream_global"
+
+
+def _load_global(ck: SketchCheckpoint) -> Sketch | None:
+    try:
+        return ck.load_sketch(GLOBAL)
+    except FileNotFoundError:
+        return None
+
+
+def _committed(ck: SketchCheckpoint, batch_id: int) -> bool:
+    info = ck.run_info("stream_batches")
+    return bool(info) and int(batch_id) in info["units"]
+
+
+def _commit(ck: SketchCheckpoint, batch_id: int, n_rows: int) -> None:
+    manifest = ck._read_manifest()
+    run = manifest["runs"].setdefault(
+        "stream_batches", {"units": [], "rows": {}}
+    )
+    if int(batch_id) not in run["units"]:
+        run["units"] = sorted(run["units"] + [int(batch_id)])
+    run.setdefault("rows", {})[str(batch_id)] = int(n_rows)
+    ck._commit_manifest(manifest)
+
+
+def foreach_batch_sketch_build(
+    ck: SketchCheckpoint,
+    cols: list[str],
+    factory: Callable[[], Sketch],
+    value_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch fn: fold each micro-batch into the persisted global
+    sketch. Re-delivered batches (restart replay) are skipped by id."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(ck, batch_id):
+            return
+        segs = build_segments(batch_df, cols, factory, value_col=value_col)
+        sketch, n = merge_segments(segs)
+        current = _load_global(ck)
+        if current is not None:
+            sketch = current.merge(sketch)
+        ck.save_sketch(GLOBAL, sketch)
+        _commit(ck, batch_id, n)
+
+    return fn
+
+
+def foreach_batch_bloom_dedup(
+    ck: SketchCheckpoint,
+    keys: list[str],
+    factory: Callable[[], Sketch],
+    sink_dir: str,
+    order_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """Streaming dedup: per micro-batch, drop rows already in the global
+    filter (seen in ANY earlier batch), exact-dedup within the batch,
+    append survivors to the parquet sink, then fold the batch's keys into
+    the filter. ≙ the reference's default pipeline (EP-A) with the input
+    arriving incrementally."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        if _committed(ck, batch_id):
+            return
+        spark = batch_df.sparkSession
+        current = _load_global(ck)
+        fresh = (
+            filter_members(spark, batch_df, keys, current, keep_members=False)
+            if current is not None
+            else batch_df
+        )
+        survivors = exact_dedup(fresh, keys, order_col=order_col)
+        survivors.write.mode("append").parquet(sink_dir)
+        segs = build_segments(batch_df, keys, factory)
+        sketch, n = merge_segments(segs)
+        if current is not None:
+            sketch = current.merge(sketch)
+        ck.save_sketch(GLOBAL, sketch)
+        _commit(ck, batch_id, n)
+
+    return fn
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Drain everything currently available through foreachBatch and
+    stop — the deterministic test/drive harness for the streaming path."""
+    q = (
+        stream_df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The built-in streaming agg the reference lacks entirely: watermarked
+    tumbling-window counts (late rows beyond the watermark dropped by
+    Spark's state store) — included so the streaming surface covers the
+    windows/watermark semantics of SURVEY.md §2.6."""
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("cnt"),
+        )
+    )

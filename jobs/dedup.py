@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Production dedup job — the reference CLI's three entry points as one
+spark-submit application (SURVEY.md §3: EP-A build+dedup, EP-B build &
+persist filter, EP-C filter against an existing sketch).
+
+Ship it exactly as the north star says:
+
+    zip -r bloom_spark.zip bloom_spark
+    spark-submit --py-files bloom_spark.zip jobs/dedup.py \
+        --input  /data/pages_parquet \
+        --output /data/deduped \
+        --keys text \
+        --checkpoint /data/ck --run-id crawl-2026-08-16 \
+        --expected-n 1000000000 --fpr 1e-6 \
+        --n-units 64 --salt-key url
+
+Modes:
+  (default)            build filter over input, write first-occurrence
+                       survivors to --output, persist the filter
+  --filter-only        EP-B: build + persist the filter, no row output
+  --against NAME       EP-C: probe input against a previously saved
+                       filter; emit non-members (or members with
+                       --inverse, ≙ the reference's -i flag)
+
+Resumable: re-running with the same --checkpoint/--run-id skips
+committed units (per-partition lineage parquet + atomic manifest).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# direct `python jobs/dedup.py` runs resolve bloom_spark from the repo
+# root; under spark-submit --py-files the zip on PYTHONPATH wins
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("--output", help="output parquet path (survivors)")
+    ap.add_argument("--keys", default="text", help="comma-separated key columns")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint/lineage dir")
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--expected-n", type=int, default=1_000_000)
+    ap.add_argument("--fpr", type=float, default=1e-6)
+    ap.add_argument("--n-units", type=int, default=16)
+    ap.add_argument("--salt-key", help="skew column to salt-repartition on")
+    ap.add_argument("--partitions", type=int)
+    ap.add_argument("--filter-only", action="store_true")
+    ap.add_argument("--against", help="probe against saved sketch NAME (EP-C)")
+    ap.add_argument("--inverse", action="store_true", help="emit members (ref -i)")
+    ap.add_argument("--sketch-name", default="global")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from bloom_spark.ops.build import salted_repartition
+    from bloom_spark.ops.checkpoint import SketchCheckpoint
+    from bloom_spark.ops.dedup import exact_dedup, filter_members
+    from bloom_spark.sketch import BloomSketch
+
+    # spark-submit provides the session config (master, executors, memory);
+    # getOrCreate attaches to it. Local runs fall back to local[*].
+    spark = SparkSession.builder.appName("bloom_spark_dedup").getOrCreate()
+    keys = args.keys.split(",")
+    ck = SketchCheckpoint(args.checkpoint)
+    df = spark.read.parquet(args.input)
+    if args.salt_key and args.partitions:
+        df = salted_repartition(df, args.salt_key, args.partitions)
+
+    t0 = time.time()
+    if args.against:
+        # EP-C: read-only probe against an existing filter
+        sketch = ck.load_sketch(args.against)
+        out = filter_members(spark, df, keys, sketch, keep_members=args.inverse)
+        if not args.output:
+            raise SystemExit("--against requires --output")
+        out.write.mode("overwrite").parquet(args.output)
+        n_out = spark.read.parquet(args.output).count()
+        stats = {"mode": "probe", "rows_out": n_out}
+    else:
+        result = ck.build(
+            spark, df, keys,
+            lambda: BloomSketch.from_fpr(args.expected_n, args.fpr),
+            run_id=args.run_id, n_units=args.n_units,
+        )
+        if result is None:  # interrupted mid-run previously; resume finished?
+            raise SystemExit("build incomplete (interrupted); rerun to resume")
+        sketch, n_rows = result
+        ck.save_sketch(args.sketch_name, sketch)
+        stats = {
+            "mode": "filter-only" if args.filter_only else "dedup",
+            "rows_in": n_rows,
+            "sketch_bytes": len(sketch.to_bytes()),
+            "expected_fpr_bound": sketch.expected_fpr(),
+        }
+        if not args.filter_only:
+            if not args.output:
+                raise SystemExit("dedup mode requires --output")
+            survivors = exact_dedup(df, keys)
+            survivors.write.mode("overwrite").parquet(args.output)
+            stats["rows_out"] = spark.read.parquet(args.output).count()
+    stats["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(stats), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

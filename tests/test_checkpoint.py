@@ -30,8 +30,10 @@ def test_full_build_matches_direct(spark, docs, tmp_path):
         docs, ["text"], lambda: BloomSketch.from_fpr(2000, 1e-6)
     )
     assert n == n_direct == docs.count()
-    # same elements inserted → identical filter bits (deterministic hashes)
-    assert sketch.to_bytes() == direct.to_bytes()
+    # same elements inserted → identical filter bits (deterministic hashes);
+    # compare canonical dense form (sparse/dense mode is transport-only and
+    # may legitimately differ between a 1-segment and an N-unit build)
+    assert sketch.densify().to_bytes() == direct.densify().to_bytes()
 
 
 def test_crash_and_resume(spark, docs, tmp_path):
@@ -51,7 +53,7 @@ def test_crash_and_resume(spark, docs, tmp_path):
     sketch, n = done
     assert n == docs.count()
     direct, _ = build_sketch(docs, ["text"], factory)
-    assert sketch.to_bytes() == direct.to_bytes()
+    assert sketch.densify().to_bytes() == direct.densify().to_bytes()
 
 
 def test_resume_is_noop_when_complete(spark, docs, tmp_path):

@@ -1,0 +1,97 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH path."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from bloom_spark.ops.similarity import (
+    brute_force_topk,
+    cosine,
+    cosine_neardup_pairs,
+    lsh_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+DIM = 64
+
+
+@pytest.fixture()
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 2.0], [2.0, 4.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(1.0)
+    assert got[1] == pytest.approx(0.0)
+    assert got[2] == pytest.approx(1.0)
+
+
+def test_self_query_is_top1(spark, emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = brute_force_topk(emb, queries, k=3)
+    top1 = {r["query_id"]: r["vec_id"] for r in top.where("rank = 1").collect()}
+    for qid, vid in top1.items():
+        assert qid == vid  # identical vector → cosine 1.0, tie-broken by id? self wins
+
+
+def test_topk_matches_duckdb(spark, emb):
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    top = brute_force_topk(emb, queries, k=5)
+    mine = {(r["query_id"], r["rank"]): (r["vec_id"], round(r["cos"], 9))
+            for r in top.collect()}
+    oracle = duckdb.sql(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                   FROM '{SF}/embeddings.parquet'),
+             q AS (SELECT vec_id AS query_id, v AS qv FROM e
+                   ORDER BY vec_id LIMIT 3),
+             scored AS (
+               SELECT q.query_id, e.vec_id,
+                      list_cosine_similarity(e.v, q.qv) AS cos,
+                      row_number() OVER (PARTITION BY q.query_id
+                                         ORDER BY list_cosine_similarity(e.v, q.qv) DESC,
+                                                  e.vec_id ASC) AS rank
+               FROM e CROSS JOIN q)
+        SELECT query_id, rank, vec_id, cos FROM scored WHERE rank <= 5
+        """
+    ).fetchall()
+    for qid, rank, vid, cos in oracle:
+        got_vid, got_cos = mine[(qid, rank)]
+        assert got_vid == vid
+        assert got_cos == pytest.approx(cos, abs=1e-6)
+
+
+def test_lsh_recall(spark, emb):
+    queries = emb.limit(20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=5)
+    # this corpus has weak neighbors (rank-2 cos ≈ 0.37), so short codes +
+    # many tables; measured recall 0.99 at (4, 24)
+    approx = lsh_topk(emb, queries, k=5, dim=DIM, n_planes=4, n_tables=24)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+    # approx cosines are exact cosines (re-ranked exactly)
+    assert all(r["cos"] <= 1.0 + 1e-9 for r in approx.collect())
+
+
+def test_cosine_neardup_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             cosine_neardup_pairs(df, min_cos=0.99).collect()}
+    assert pairs == {(1, 2)}

@@ -1,0 +1,104 @@
+"""Text-analysis Catalyst functions (functions/text.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+
+from bloom_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_features,
+    quality_score,
+    token_count,
+    word_count,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture()
+def sample(spark):
+    rows = [
+        (1, "The cat sat on the mat, and it is happy."),
+        (2, "Der Hund ist nicht in der Küche und das ist gut."),
+        (3, "le chat est sur la table et les livres sont là"),
+        (4, "zzz qqq xxx"),
+        (5, "a b"),
+        (6, "1234 5678 9012 3456 7890 1111"),
+    ]
+    return spark.createDataFrame(rows, "id int, text string")
+
+
+def test_word_and_token_count(spark, sample):
+    got = {
+        r["id"]: (r["wc"], r["tc"])
+        for r in sample.select(
+            "id",
+            word_count(F.col("text")).alias("wc"),
+            token_count(F.col("text")).alias("tc"),
+        ).collect()
+    }
+    assert got[5] == (2, 2)
+    # "The cat sat on the mat, and it is happy." → 10 words; tokens add , .
+    assert got[1] == (10, 12)
+
+
+def test_lang_id(spark, sample):
+    got = {r["id"]: r["lang"] for r in sample.select(
+        "id", lang_id(F.col("text")).alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_quality_score_ordering(spark, sample):
+    got = {r["id"]: r["q"] for r in sample.select(
+        "id", quality_score(F.col("text")).alias("q")).collect()}
+    # real English sentence beats digit soup and 2-word fragment
+    assert got[1] > got[6]
+    assert got[1] > got[5]
+    assert 0.0 <= min(got.values()) and max(got.values()) <= 1.0
+
+
+def test_quality_features_values(spark):
+    df = spark.createDataFrame([(1, "ab cd!")], "id int, text string")
+    f = quality_features(F.col("text"))
+    row = df.select(*[v.alias(k) for k, v in f.items()]).collect()[0]
+    assert row["n_chars"] == 6
+    assert row["n_words"] == 2
+    assert row["punct_ratio"] == pytest.approx(1 / 6)
+    assert row["mean_word_len"] == pytest.approx(5 / 2)  # "ab"+"cd!" = 5 chars
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "  HELLO\tWORLD  "),
+         (4, "different")],
+        "id int, text string",
+    )
+    fps = [r["fp"] for r in df.select(doc_fingerprint(F.col("text")).alias("fp"))
+           .collect()]
+    assert fps[0] == fps[1] == fps[2]
+    assert fps[3] != fps[0]
+
+
+def test_fingerprint_matches_duckdb(spark):
+    """The oracle contract: identical md5-of-normalized in any engine."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    mine = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select(
+            "doc_id", doc_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    oracle = dict(
+        duckdb.sql(
+            f"""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                FROM '{SF}/documents.parquet' LIMIT 50"""
+        ).fetchall()
+    )
+    for k, v in mine.items():
+        assert oracle[k] == v
