@@ -185,6 +185,22 @@ def q_dedup_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_xxh_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DEFAULT container (xxHash fingerprint table,
+    container_memory_xxh.rs) on the EP-C workflow: build on one slice,
+    emit rows NOT in the table. Sized so fingerprint collisions are
+    negligible → exact at sf0.01."""
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import dedup_against_filter
+    from bloom_spark.sketch import XXHFingerprintTable
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(docs.source == "src0")
+    table, _ = build_sketch(seen, ["text"], lambda: XXHFingerprintTable(1 << 20))
+    out = dedup_against_filter(spark, docs, ["text"], table)
+    return out.select("doc_id", "text")
+
+
 # ----------------------------------------------------- text-analysis queries
 
 
@@ -495,6 +511,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_anti_filter": q_bloom_anti_filter,
+        "xxh_anti_filter": q_xxh_anti_filter,
         "bloom_inverse_filter": q_bloom_inverse_filter,
         "bloom_distinct_count": q_bloom_distinct_count,
         "dedup_first_wins": q_dedup_first_wins,
@@ -584,6 +601,10 @@ def _quality_oracle_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "bloom_anti_filter": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+        """,
+        "xxh_anti_filter": """
             SELECT doc_id, text FROM documents
             WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
         """,

@@ -49,7 +49,7 @@ def materialize(n_rows: int, partitions: int) -> str:
     return cache
 
 
-def run_worker(cpus: int, n_rows: int, partitions: int) -> None:
+def run_worker(cpus: int, n_rows: int, partitions: int, fpr: float) -> None:
     """One timed dedup job at local[cpus]; prints one JSON line."""
     from bloom_spark.ops.build import build_sketch
     from bloom_spark.ops.dedup import dedup_against_filter
@@ -66,7 +66,7 @@ def run_worker(cpus: int, n_rows: int, partitions: int) -> None:
 
     def job(a, b) -> tuple[int, int]:
         sketch, n_seen = build_sketch(
-            a, ["text"], lambda: BloomSketch.from_fpr(n_rows, 1e-6)
+            a, ["text"], lambda: BloomSketch.from_fpr(n_rows, fpr)
         )
         return n_seen, dedup_against_filter(spark, b, ["text"], sketch).count()
 
@@ -98,7 +98,8 @@ def run_worker(cpus: int, n_rows: int, partitions: int) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--rows", type=int, default=12_000_000)
+    ap.add_argument("--fpr", type=float, default=1e-3)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--partitions", type=int, default=64)
@@ -107,7 +108,7 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.worker:
-        run_worker(args.cpus, args.rows, args.partitions)
+        run_worker(args.cpus, args.rows, args.partitions, args.fpr)
         return
 
     materialize(args.rows, args.partitions)
@@ -124,6 +125,8 @@ def main() -> None:
                 str(args.rows),
                 "--partitions",
                 str(args.partitions),
+                "--fpr",
+                str(args.fpr),
             ],
             capture_output=True,
             text=True,
@@ -145,6 +148,7 @@ def main() -> None:
                 "scaling_efficiency": round(efficiency, 3),
                 "rows": args.rows,
                 "partitions": args.partitions,
+                "fpr": args.fpr,
             }
         ),
         flush=True,
