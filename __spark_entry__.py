@@ -259,7 +259,7 @@ WITH sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            range(1, greatest(length(text)-4,0)+1),
            i -> substr(text, i, 5)))) AS s
-  FROM documents
+  FROM documents WHERE doc_id < 500
 ), sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id ia, b.doc_id ib, count(*) i
@@ -277,7 +277,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard near-dup pairs (j ≥ 0.8) over documents."""
     from bloom_spark.ops.neardup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 500")
     return ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=5, min_jaccard=0.8)
 
 
@@ -287,7 +287,7 @@ def q_minhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64 hashes / 16 bands on this corpus)."""
     from bloom_spark.ops.neardup import minhash_lsh_candidates, ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 500")
     cands = minhash_lsh_candidates(
         docs, "doc_id", "text", shingle_n=5, num_hashes=64, bands=16
     )
@@ -302,7 +302,7 @@ def q_minhash_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bloom_spark.ops.neardup import minhash_dedup
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 500")
     kept = minhash_dedup(docs, "doc_id", "text", min_jaccard=0.8)
     return kept.agg(F.count("*").alias("n_kept"))
 
@@ -316,7 +316,7 @@ def q_simhash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from bloom_spark.ops.neardup import simhash_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 500")
     perturbed = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zebra")).alias("text"),
@@ -672,12 +672,12 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id_a, id_b, jaccard FROM jpairs WHERE jaccard >= 0.8",
         "minhash_dedup_count": _JACCARD_SQL
         + """
-            SELECT (SELECT count(*) FROM documents)
+            SELECT (SELECT count(*) FROM documents WHERE doc_id < 500)
                  - (SELECT count(DISTINCT id_b) FROM jpairs WHERE jaccard >= 0.8)
                  AS n_kept
         """,
         "simhash_matches": (
-            "SELECT count(*) AS n_docs, TRUE AS match_rate_ok FROM documents"
+            "SELECT count(*) AS n_docs, TRUE AS match_rate_ok FROM documents WHERE doc_id < 500"
         ),
         "ann_topk": """
             WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

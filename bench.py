@@ -50,6 +50,7 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     # ---- headline: bloom dedup throughput on the synthetic pages table ----
     # EP-B/EP-C workflow (SURVEY.md §3.2-3.3): build a filter over today's
