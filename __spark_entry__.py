@@ -378,6 +378,33 @@ def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5 (8 cells, nprobe 3) vs exact: recall ≥ 0.5 as data;
+    nprobe=n_cells must reproduce the exact result set."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.similarity import brute_force_topk, ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_centroids(emb, n_cells=8, sample=500)
+    queries = emb.where("vec_id < 15").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             brute_force_topk(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              ivf_topk(emb, queries, k=5, centroids=cents, nprobe=3).collect()}
+    full = {(r["query_id"], r["vec_id"]) for r in
+            ivf_topk(emb, queries, k=5, centroids=cents, nprobe=8).collect()}
+    recall = len(exact & approx) / len(exact)
+    return spark.createDataFrame(
+        [(len(exact), bool(recall >= 0.5), bool(full == exact))],
+        "n_exact long, recall_ok boolean, full_probe_exact boolean",
+    )
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: scaled copies (same direction) must pair
     with their base at cos ≥ 0.999."""
@@ -530,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_matches": q_simhash_matches,
         "ann_topk": q_ann_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup": q_embedding_neardup,
         "checkpoint_resume": q_checkpoint_resume,
         "streaming_dedup_count": q_streaming_dedup_count,
@@ -694,6 +722,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_recall": """
             SELECT 100::BIGINT AS n_exact, TRUE AS recall_ok
+        """,
+        "ann_ivf_recall": """
+            SELECT 75::BIGINT AS n_exact, TRUE AS recall_ok,
+                   TRUE AS full_probe_exact
         """,
         "embedding_neardup": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v

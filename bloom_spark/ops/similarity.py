@@ -166,6 +166,109 @@ def lsh_topk(
     )
 
 
+# ----------------------------------------------------------------- IVF index
+def train_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Lloyd's k-means on a driver-side sample → (n_cells, dim) float64.
+
+    The sample is small and fixed-size regardless of corpus scale (this is
+    how IVF indexes are trained in practice); assignment of the full
+    corpus stays distributed and JVM-side (``ivf_cell``)."""
+    pdf = (
+        corpus.select(vec_col)
+        .limit(sample)
+        .toPandas()
+    )
+    x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
+    """Nearest-centroid cell id (cosine, centroids unit-norm) as a pure
+    Catalyst expression: n_cells dot products + argmax via array_position."""
+    scores = F.array(
+        *[
+            dot(vec, F.array(*[F.lit(float(x)) for x in c])) / l2_norm(vec)
+            for c in centroids
+        ]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def _probe_cells(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
+    """Array of the nprobe nearest cell ids for a query vector."""
+    pairs = F.array(
+        *[
+            F.struct(
+                (dot(vec, F.array(*[F.lit(float(x)) for x in c])) / l2_norm(vec))
+                .alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
+    return F.transform(best, lambda p: p["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned by nearest-centroid cell,
+    queries probe their nprobe nearest cells, exact cosine re-rank inside.
+
+    At corpus scale the cell assignment is computed once and used as a
+    partition/bucket column, so a query touches nprobe/n_cells of the
+    data; here the assignment is inlined. Same output shape as
+    brute_force_topk; recall grows with nprobe (nprobe=n_cells ≡ exact).
+    """
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col), ivf_cell(F.col(vec_col), centroids).alias("__cell")
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)).alias("__cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
+        .select(
+            query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
+        )
+        .dropDuplicates([query_id_col, id_col])
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     min_cos: float,

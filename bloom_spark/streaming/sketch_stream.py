@@ -122,6 +122,62 @@ def run_available_now(
     q.awaitTermination()
 
 
+def stateful_bloom_dedup(
+    stream_df: DataFrame,
+    keys: list[str],
+    factory: Callable[[], Sketch],
+    num_groups: int = 32,
+) -> DataFrame:
+    """Custom stateful streaming dedup via ``applyInPandasWithState``:
+    the Spark state store holds one serialized Bloom segment per hash
+    group, and each micro-batch emits only rows whose key was never seen
+    in ANY earlier batch of that group.
+
+    This is the reference's ``check_and_set`` loop (container.rs:24,
+    process.rs:134-180) lifted onto Spark's keyed state machinery: group
+    = ``xxhash64(keys) % num_groups`` (so state shards scale with
+    executors and no single filter must fit one task), probe+insert is
+    batch-vectorized on precomputed hashes, and state round-trips as the
+    sketch envelope. Exact within a batch, FPR-bounded across batches.
+
+    Returns the transformed *streaming* DataFrame (original columns);
+    caller attaches the sink. Output mode must be ``append``/``update``.
+    """
+    from bloom_spark.hashing import to_uint64
+    from bloom_spark.ops.build import H1_COL, H2_COL, with_hash_columns
+
+    in_cols = stream_df.columns
+    hashed = with_hash_columns(stream_df, keys).withColumn(
+        "__bs_grp", F.pmod(F.col(H1_COL), F.lit(num_groups)).cast("int")
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in stream_df.schema.fields
+    )
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            (blob,) = state.get
+            sketch = Sketch.from_bytes(bytes(blob))
+        else:
+            sketch = factory()
+        for pdf in pdfs:
+            seen = sketch.check_and_set_hashes(
+                to_uint64(pdf[H1_COL]), to_uint64(pdf[H2_COL])
+            )
+            fresh = pdf.loc[~seen, in_cols]
+            if len(fresh):
+                yield fresh
+        state.update((sketch.to_bytes(),))
+
+    return hashed.groupBy("__bs_grp").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="sketch binary",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+
+
 def windowed_event_counts(
     stream_df: DataFrame,
     ts_col: str = "ts",

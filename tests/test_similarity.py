@@ -95,3 +95,24 @@ def test_cosine_neardup_pairs(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              cosine_neardup_pairs(df, min_cos=0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_ivf_topk_recall(spark, emb):
+    from bloom_spark.ops.similarity import ivf_topk, train_centroids
+
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_centroids(embd, n_cells=8, sample=500)
+    assert cents.shape == (8, DIM)
+    queries = embd.limit(15).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(embd, queries, k=5)
+    approx = ivf_topk(embd, queries, k=5, centroids=cents, nprobe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # nprobe = n_cells degenerates to exact
+    full = ivf_topk(embd, queries, k=5, centroids=cents, nprobe=8)
+    f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
+    assert f == e

@@ -107,3 +107,83 @@ def test_windowed_event_counts_batch_semantics(spark):
     )
     total = win.agg(F.sum("cnt").alias("s")).collect()[0]["s"]
     assert total == events.count()
+
+
+def test_stateful_bloom_dedup(spark, tmp_path):
+    """applyInPandasWithState: per-group Bloom state dedups across
+    micro-batches; exact distinct output on replayed duplicates."""
+    from bloom_spark.streaming.sketch_stream import stateful_bloom_dedup
+
+    src = str(tmp_path / "src")
+    docs = _write_chunks(spark, src)
+    sink = str(tmp_path / "sink")
+    out = stateful_bloom_dedup(
+        _stream(spark, src), ["text"], lambda: BloomSketch.from_fpr(2000, 1e-9),
+        num_groups=8,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "qck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(sink)
+    assert got.count() == docs.select("text").distinct().count()
+    assert got.groupBy("text").count().where("count > 1").count() == 0
+    assert set(got.columns) == set(docs.columns)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Real streaming windowed agg: a row older than the watermark when
+    its batch arrives is dropped; closed windows emit exactly once."""
+    import datetime as dt
+    import time
+
+    src = str(tmp_path / "wsrc")
+    ts = lambda h, m=0: dt.datetime(2026, 1, 1, h, m)  # noqa: E731
+    # Spark applies the late filter with the watermark of the batch BEFORE
+    # the previous one (one-batch grace), so the droppable row arrives two
+    # batches after its window closed.
+    batches = [
+        [(1, ts(1, 0), "a"), (2, ts(1, 30), "a"), (3, ts(2, 45), "a")],
+        [(4, ts(4, 0), "a")],            # watermark → 03:30; windows 01,02 close
+        [(5, ts(1, 20), "a"),            # LATE: window end 02:00 < wm 03:30 → dropped
+         (6, ts(4, 10), "a")],
+    ]
+    schema = "event_id long, ts timestamp, event_type string"
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/f{i}")
+        time.sleep(1.1)  # file source orders batches by mod time
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/f*")
+    )
+    win = windowed_event_counts(
+        stream, ts_col="ts", key_col="event_type",
+        window="1 hour", watermark="30 minutes",
+    )
+    q = (
+        win.writeStream.format("memory")
+        .queryName("wmtest")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["window_start"].hour: r["cnt"]
+        for r in spark.sql("SELECT * FROM wmtest").collect()
+    }
+    # window 01:00 emitted with its 2 on-time rows — the late row (batch 3)
+    # was dropped by the watermark, not added to a reopened window
+    assert rows.get(1) == 2
+    # window 02:00 closed by the 04:00 event
+    assert rows.get(2) == 1
+    # window 04:00 never passed the final watermark → not emitted
+    assert 4 not in rows
