@@ -201,6 +201,36 @@ def q_xxh_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE metric itself as data: build a filter at a loose FPR
+    (1e-2) over half the events' user_ids, probe the disjoint other
+    values — zero false negatives, measured FPR ≤ the configured bound
+    (with 3x sampling slack)."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import mark_members
+    from bloom_spark.sketch import BloomSketch
+
+    events = _events(spark, sf_dir)
+    members = events.select("user_id").distinct().where("user_id % 2 = 0")
+    probes = events.select("user_id").distinct().where("user_id % 2 = 1")
+    n_mem = members.count()
+    sketch, _ = build_sketch(
+        members, ["user_id"], lambda: BloomSketch.from_fpr(max(n_mem, 16), 1e-2)
+    )
+    fn = mark_members(spark, members, ["user_id"], sketch).where(
+        "NOT __bs_is_dup"
+    ).count()
+    n_probe = probes.count()
+    fp = mark_members(spark, probes, ["user_id"], sketch).where("__bs_is_dup").count()
+    measured = fp / max(n_probe, 1)
+    return spark.createDataFrame(
+        [(int(fn), bool(measured <= 3 * 1e-2))],
+        "false_negatives long, fpr_within_bound boolean",
+    )
+
+
 # ----------------------------------------------------- text-analysis queries
 
 
@@ -539,6 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_anti_filter": q_bloom_anti_filter,
         "xxh_anti_filter": q_xxh_anti_filter,
+        "bloom_fpr_bound": q_bloom_fpr_bound,
         "bloom_inverse_filter": q_bloom_inverse_filter,
         "bloom_distinct_count": q_bloom_distinct_count,
         "dedup_first_wins": q_dedup_first_wins,
@@ -631,6 +662,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_anti_filter": """
             SELECT doc_id, text FROM documents
             WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+        """,
+        "bloom_fpr_bound": """
+            SELECT 0::BIGINT AS false_negatives, TRUE AS fpr_within_bound
         """,
         "xxh_anti_filter": """
             SELECT doc_id, text FROM documents

@@ -60,10 +60,13 @@ def salted_repartition(
 ) -> DataFrame:
     """Spread a skewed key over ``salts`` sub-keys before a build/agg.
 
-    ≙ SURVEY.md §4 skew handling: composing the partition key with
-    ``xxhash64(key) % salts`` caps any single key's share of a partition.
+    ≙ SURVEY.md §4 skew handling: composing the partition key with a
+    ROW-dependent salt caps any single key's share of a partition at
+    ~1/salts. (The salt must not be a function of the key alone — that
+    maps every row of the hot key to the same (key, salt) pair and
+    changes nothing; caught by TestSkewHandling.)
     """
-    salt = F.pmod(F.xxhash64(F.col(key), F.lit("salt")), F.lit(salts))
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
     return df.repartition(num_partitions, F.col(key), salt)
 
 

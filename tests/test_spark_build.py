@@ -225,3 +225,32 @@ class TestPlanQuality:
         plan = pruned._jdf.queryExecution().executedPlan().toString()
         # scan must read only `text`, not all 5 columns
         assert "ReadSchema: struct<text:string>" in plan
+
+
+class TestSkewHandling:
+    def test_salted_repartition_bounds_skew(self, spark):
+        """80% of rows share one hot key: any unsalted partitioning puts
+        them in ONE partition; salting splits the hot key over ``salts``
+        sub-keys so no partition exceeds ~1/salts of the hot mass."""
+        import pyspark.sql.functions as F
+
+        from bloom_spark.ops.build import salted_repartition
+
+        n = 40_000
+        df = spark.range(n).select(
+            F.when(F.pmod("id", F.lit(5)) < 4, F.lit("hot-host"))
+            .otherwise(F.concat(F.lit("h"), F.pmod("id", F.lit(100))))
+            .alias("host"),
+            F.col("id"),
+        )
+        hot = df.where("host = 'hot-host'").count()
+        assert hot == 32_000
+
+        def max_partition(d):
+            sizes = d.groupBy(F.spark_partition_id().alias("p")).count()
+            return sizes.agg(F.max("count").alias("m")).first()["m"]
+
+        plain = max_partition(df.repartition(16, F.col("host")))
+        salted = max_partition(salted_repartition(df, "host", 16, salts=8))
+        assert plain >= hot  # the hot key pins one partition
+        assert salted <= hot * 0.5, f"salting did not spread: {salted} vs {hot}"
