@@ -516,6 +516,21 @@ def q_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(n),)], "distinct_texts long")
 
 
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event counts (the streaming agg's batch-mode plan,
+    SURVEY.md §2.6 windows surface) — exact SQL oracle via date_trunc."""
+    import pyspark.sql.functions as F
+
+    events = _events(spark, sf_dir)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"), F.col("event_type"), F.col("cnt")
+        )
+    )
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (stub codec): decode stats per kind.
     No SQL oracle (binary fake-codec) — rows-only check."""
@@ -592,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "checkpoint_resume": q_checkpoint_resume,
         "streaming_dedup_count": q_streaming_dedup_count,
+        "windowed_event_counts": q_windowed_event_counts,
         "multimodal_decode": q_multimodal_decode,
         "pages_pipeline": q_pages_pipeline,
     }
@@ -778,6 +794,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "streaming_dedup_count": """
             SELECT count(DISTINCT text) AS distinct_texts FROM documents
+        """,
+        "windowed_event_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
         """,
         # pages_pipeline, multimodal_decode: generator/codec are
         # xxhash64/binary-based — not expressible in ANSI SQL; rows-only.
