@@ -115,6 +115,30 @@ def q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, cnt long")
 
 
+def q_cms_weighted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted count-min updates (the reference has only +1 counters;
+    this is the +w generalization): per-type weighted totals, exact at
+    this width."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.hashing import to_uint64
+    from bloom_spark.ops.build import build_sketch, with_hash_columns
+    from bloom_spark.sketch import CountMinSketch
+
+    events = _events(spark, sf_dir).withColumn(
+        "w", (F.pmod("event_id", F.lit(10)) + 1).cast("long")
+    )
+    cms, _ = build_sketch(
+        events, ["event_type"], lambda: CountMinSketch(1 << 16, 5), weight_col="w"
+    )
+    keys = with_hash_columns(
+        events.select("event_type").distinct(), ["event_type"]
+    ).toPandas()
+    est = cms.query_hashes(to_uint64(keys["__bs_h1"]), to_uint64(keys["__bs_h2"]))
+    rows = [(k, int(v)) for k, v in zip(keys["event_type"], est)]
+    return spark.createDataFrame(rows, "event_type string, weighted_cnt long")
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantiles of documents.n_chars with the rank-error bound
     checked as data: true_rank(estimate) within 3ε of q."""
@@ -591,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_passthrough": q_dedup_passthrough,
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_counts": q_cms_event_type_counts,
+        "cms_weighted_counts": q_cms_weighted_counts,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "token_counts": q_token_counts,
@@ -721,6 +746,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_event_type_counts": """
             SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "cms_weighted_counts": """
+            SELECT event_type,
+                   sum((event_id % 10) + 1)::BIGINT AS weighted_cnt
+            FROM events GROUP BY event_type
         """,
         "kll_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound

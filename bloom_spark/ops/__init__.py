@@ -1,0 +1,37 @@
+from bloom_spark.ops.build import (  # noqa: F401
+    build_segments,
+    build_sketch,
+    membership_udf,
+    merge_segments,
+    salted_repartition,
+    with_hash_columns,
+)
+from bloom_spark.ops.checkpoint import SketchCheckpoint  # noqa: F401
+from bloom_spark.ops.dedup import (  # noqa: F401
+    bloom_dedup,
+    dedup_against_filter,
+    dedup_with_passthrough,
+    exact_dedup,
+    filter_members,
+    mark_members,
+    semi_join_filter,
+)
+from bloom_spark.ops.neardup import (  # noqa: F401
+    char_shingles,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_table,
+    word_shingles,
+)
+from bloom_spark.ops.similarity import (  # noqa: F401
+    brute_force_topk,
+    cosine,
+    cosine_neardup_pairs,
+    ivf_topk,
+    lsh_neardup_pairs,
+    lsh_topk,
+    train_centroids,
+)
