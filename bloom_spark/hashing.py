@@ -59,7 +59,13 @@ def hash_series(s: pd.Series, which: int = 1) -> np.ndarray:
         return _splitmix64(base, seed)
     key = _HASH_KEY_2 if which == 2 else _HASH_KEY_1
     # pandas' keyed siphash over object dtype is C-vectorized and stable.
-    out = pd.util.hash_pandas_object(s.astype(object), index=False, hash_key=key)
+    # categorize=False is REQUIRED for purity: with the default
+    # categorize=True the hash of an element can depend on the other
+    # elements in the series (found by hypothesis via '\x00' vs ''),
+    # which would break merge-equivalence across shardings.
+    out = pd.util.hash_pandas_object(
+        s.astype(object), index=False, hash_key=key, categorize=False
+    )
     return out.to_numpy(dtype=np.uint64)
 
 
