@@ -16,6 +16,21 @@ Deliberate divergences (documented, SURVEY.md §7):
   f64 ``remap`` (an artifact, SURVEY.md §2.4 H3).
 - the reference's double-count of ``num_writes`` in ``set()``
   (container_memory_xxh.rs:65+142) is NOT reproduced; we count once.
+
+Distributed-merge design (our addition — the single-process reference
+never merges): an occupied slot stores only the 20-bit fingerprint, not
+the full hash, so a table rebuilt from its slots cannot know each key's
+TRUE probe base (``hash % num_slots``). Re-inserting from the *slot*
+position drifts the probe window: a key displaced t slots in its source
+segment re-probes from base+t and can land outside the 4-slot window a
+reader probes — a false negative at realistic fill. Fix: every segment
+also keeps the raw 64-bit hashes of its successful inserts
+(``_hash_chunks``, 8 B/key — cheaper than the dense arrays below ~50%
+fill), and ``merge`` re-inserts the other segment's keys from their true
+bases. Serialization stores the raw hashes and replays them on load, so
+a deserialized segment merges exactly like a live one. Tables loaded
+from slot-only payloads (legacy blobs, reference ``.blf`` files) are
+probe-only: ``merge`` refuses them rather than silently drifting.
 """
 
 from __future__ import annotations
@@ -43,6 +58,11 @@ class XXHFingerprintTable(Sketch):
         self.n_inserted = 0
         self.occupied = np.zeros(self.num_slots, dtype=bool)
         self.fp = np.zeros(self.num_slots, dtype=np.uint32)
+        # raw hashes of successful inserts, in claim order — the mergeable
+        # representation (see module docstring). Probe-only tables (loaded
+        # from slot-only payloads) have replayable=False and cannot merge.
+        self._hash_chunks: list[np.ndarray] = []
+        self.replayable = True
 
     # -- probing ---------------------------------------------------------------
     def _base(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -70,10 +90,34 @@ class XXHFingerprintTable(Sketch):
 
     def update_hashes(self, h: np.ndarray, _h2: np.ndarray | None = None) -> None:
         """≙ insert_key: claim first free slot among 4 probes; silently drop
-        on saturation (container_memory_xxh.rs:82-110). ``_h2`` ignored."""
-        pending = np.flatnonzero(~self.contains_hashes(h))
-        slot, fp = self._base(h)
-        slot, fp = slot[pending], fp[pending]
+        on saturation (container_memory_xxh.rs:82-110). ``_h2`` ignored.
+
+        Batch-vectorized: pending keys are deduplicated within the batch
+        (equal hashes are one insert — a strict improvement over the
+        sequential re-probe, same divergence BloomSketch documents).
+
+        Every ATTEMPTED key (inserted or saturation-dropped) records its
+        raw hash in ``_hash_chunks``: replaying the chunks into any table
+        leaves each recorded key either fingerprint-found or with a fully
+        occupied probe window — both answer True — so merge/serde never
+        introduce false negatives. The only unrecorded keys are those a
+        probe already reported present: true duplicates (covered by their
+        first copy's recorded hash) and fingerprint-collision false
+        positives (≈ num_tries·2^-20 per key — the table's intrinsic FP
+        rate, which the reference also silently drops on write,
+        container_memory_xxh.rs:156-161)."""
+        self._insert(to_uint64(h), record=True)
+
+    def _insert(self, hu: np.ndarray, record: bool) -> None:
+        """Probe-and-claim for a batch of hashes. ``record=False`` is the
+        merge/replay path: the caller transfers the source's chunk
+        verbatim instead, so keys that are merely *found* here (incl. via
+        window saturation) stay in the mergeable history."""
+        pending = ~self.contains_hashes(hu)
+        hu = np.unique(hu[pending])
+        if record and len(hu):
+            self._hash_chunks.append(hu.copy())
+        slot, fp = self._base(hu)
         for t in range(NUM_TRIES):
             if len(slot) == 0:
                 break
@@ -94,8 +138,11 @@ class XXHFingerprintTable(Sketch):
                 keep = np.arange(len(slot))
             slot, fp = slot[keep], fp[keep]
 
-    def check_and_set_hashes(self, h: np.ndarray) -> np.ndarray:
-        """≙ check_and_set (container_memory_xxh.rs:156-161)."""
+    def check_and_set_hashes(
+        self, h: np.ndarray, _h2: np.ndarray | None = None
+    ) -> np.ndarray:
+        """≙ check_and_set (container_memory_xxh.rs:156-161). ``_h2``
+        accepted for the uniform (h1, h2) probe signature and ignored."""
         found = self.contains_hashes(h)
         todo = ~found
         if self.limit is not None and self.n_inserted >= self.limit:
@@ -119,38 +166,25 @@ class XXHFingerprintTable(Sketch):
 
     # -- merge / serde -----------------------------------------------------------
     def merge(self, other: "XXHFingerprintTable") -> "XXHFingerprintTable":
-        """Re-insert the other table's occupied fingerprints; lossy under
-        saturation exactly like the reference's own insert path."""
+        """Re-insert the other table's keys from their TRUE probe bases
+        (raw hashes kept per segment — see module docstring). Lossy only
+        under saturation, exactly like the reference's own insert path;
+        a key that is dropped leaves its whole probe window occupied, so
+        ``contains`` still answers True (zero false negatives)."""
         if (
             not isinstance(other, XXHFingerprintTable)
             or other.num_slots != self.num_slots
         ):
             raise ValueError("incompatible fingerprint-table merge")
-        occ = np.flatnonzero(other.occupied)
-        if len(occ):
-            # occupied slots don't retain the original full hash; re-derive
-            # the probe base from the slot position (fingerprint preserved).
-            slot = occ.astype(np.int64)
-            fp = other.fp[occ]
-            for t in range(NUM_TRIES):
-                if len(slot) == 0:
-                    break
-                s = (slot + t) % self.num_slots
-                dup = self.occupied[s] & (self.fp[s] == fp)
-                free = ~self.occupied[s]
-                cand = np.flatnonzero(free & ~dup)
-                if len(cand):
-                    s_cand = s[cand]
-                    _, first = np.unique(s_cand, return_index=True)
-                    win = cand[first]
-                    self.occupied[s[win]] = True
-                    self.fp[s[win]] = fp[win]
-                    self.n_inserted += len(win)
-                    lose = np.setdiff1d(cand, win)
-                    keep = np.concatenate([np.flatnonzero(~free & ~dup), lose])
-                else:
-                    keep = np.flatnonzero(~dup & ~free)
-                slot, fp = slot[keep], fp[keep]
+        if not (self.replayable and other.replayable):
+            raise ValueError(
+                "cannot merge a probe-only fingerprint table (loaded from a "
+                "slot-only payload, e.g. a reference .blf file): the raw "
+                "hashes needed for true-base re-insertion are not present"
+            )
+        for chunk in other._hash_chunks:
+            self._insert(chunk, record=False)
+        self._hash_chunks.extend(np.asarray(c) for c in other._hash_chunks)
         return self
 
     def params(self) -> dict:
@@ -158,18 +192,42 @@ class XXHFingerprintTable(Sketch):
             "size_bytes": self.size_bytes,
             "limit": self.limit,
             "n_inserted": self.n_inserted,
+            # fmt "hashes": payload = raw uint64 hashes, replayed on load.
+            # Legacy/interop payloads ("slots") deserialize probe-only.
+            "fmt": "hashes" if self.replayable else "slots",
         }
 
+    def _all_hashes(self) -> np.ndarray:
+        """Canonical (sorted, distinct) attempted-key hashes — the
+        order-invariant serialized form; payload ≤ 8 B per distinct key."""
+        if not self._hash_chunks:
+            return np.zeros(0, dtype=np.uint64)
+        return np.unique(np.concatenate(self._hash_chunks))
+
     def _payload(self) -> bytes:
+        if self.replayable:
+            return self._all_hashes().tobytes()
         return np.packbits(self.occupied).tobytes() + self.fp.tobytes()
 
     @classmethod
     def _from_params(cls, params: dict, payload: bytes) -> "XXHFingerprintTable":
         s = cls(params["size_bytes"], limit=params.get("limit"))
-        s.n_inserted = int(params.get("n_inserted", 0))
-        nbits = (s.num_slots + 7) // 8
-        s.occupied = np.unpackbits(
-            np.frombuffer(payload[:nbits], dtype=np.uint8), count=s.num_slots
-        ).astype(bool)
-        s.fp = np.frombuffer(payload[nbits:], dtype=np.uint32).copy()
+        if params.get("fmt", "slots") == "hashes":
+            # rebuild by replaying the raw hashes from their true bases;
+            # the chunk is kept verbatim (not re-filtered), so every
+            # recorded key stays found-or-saturated through any number of
+            # round-trips and merges
+            hashes = np.frombuffer(payload, dtype=np.uint64)
+            for i in range(0, len(hashes), 1 << 16):
+                s._insert(hashes[i : i + (1 << 16)].copy(), record=False)
+            if len(hashes):
+                s._hash_chunks = [hashes.copy()]
+        else:
+            nbits = (s.num_slots + 7) // 8
+            s.occupied = np.unpackbits(
+                np.frombuffer(payload[:nbits], dtype=np.uint8), count=s.num_slots
+            ).astype(bool)
+            s.fp = np.frombuffer(payload[nbits:], dtype=np.uint32).copy()
+            s.replayable = False
+            s.n_inserted = int(params.get("n_inserted", 0))
         return s
