@@ -31,7 +31,9 @@ from bloom_spark.ops.similarity import (  # noqa: F401
     cosine,
     cosine_neardup_pairs,
     ivf_topk,
+    lsh_index,
     lsh_neardup_pairs,
     lsh_topk,
+    lsh_topk_indexed,
     train_centroids,
 )

@@ -56,7 +56,8 @@ def with_hash_columns(
 
 
 def salted_repartition(
-    df: DataFrame, key: str, num_partitions: int, salts: int = 8
+    df: DataFrame, key: str, num_partitions: int, salts: int = 8,
+    unique_col: str | None = None,
 ) -> DataFrame:
     """Spread a skewed key over ``salts`` sub-keys before a build/agg.
 
@@ -65,8 +66,20 @@ def salted_repartition(
     ~1/salts. (The salt must not be a function of the key alone — that
     maps every row of the hot key to the same (key, salt) pair and
     changes nothing; caught by TestSkewHandling.)
+
+    The salt must also be DETERMINISTIC under task retry: repartitioning
+    on a nondeterministic column (rand(), monotonically_increasing_id())
+    can drop or duplicate rows when Spark recomputes a subset of map
+    tasks after a fetch failure — silent row loss in a Bloom build would
+    break the zero-false-negative contract at cluster scale. The salt is
+    therefore a hash of ``unique_col`` when given (e.g. a row id /
+    url), else of the full row; rows that are bit-identical across every
+    column share a salt, which is harmless for dedup workloads (they are
+    duplicates) but means callers with massive exact-duplicate payloads
+    should pass a ``unique_col``.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
+    salt_src = [F.col(unique_col)] if unique_col else [F.col(c) for c in df.columns]
+    salt = F.pmod(F.xxhash64(F.lit("salt"), *salt_src), F.lit(salts))
     return df.repartition(num_partitions, F.col(key), salt)
 
 
@@ -145,12 +158,18 @@ def merge_segments(
     log-depth executor-side combining; the driver folds only the last
     ``~P^(1/depth)`` partials (≙ the reference's container chain
     collapsed by OR — SURVEY.md §2.3 T4). With sparse segments the
-    combiner tasks perform the k-fold bit expansion in parallel; raise
-    ``depth`` on very large partition counts to cap what the driver
-    pulls. (An applyInPandas groupBy fan-in was benchmarked ~3x slower
-    here — shuffling dense intermediate blobs costs more than the
-    treeAggregate pickle path.)
+    combiner tasks perform the k-fold bit expansion in parallel.
+    ``n_segments`` (when the caller knows the partition count without
+    running a job) deepens the tree so the driver never folds more than
+    ~64 partials: depth = max(depth, log64(n_segments)). (An
+    applyInPandas groupBy fan-in was benchmarked ~3x slower here —
+    shuffling dense intermediate blobs costs more than the treeAggregate
+    pickle path.)
     """
+    if n_segments is not None and n_segments > 64:
+        import math
+
+        depth = max(depth, math.ceil(math.log(n_segments, 64)))
 
     def seq(acc, row):
         s = sketch_from_bytes(bytes(row.sketch))

@@ -10,11 +10,13 @@ Reference semantics mapped (SURVEY.md §2.2):
   through verbatim, duplicates included (reference process.rs:63-78)
   ≙ ``dedup_with_passthrough``.
 
-Scale notes: ``bloom_dedup`` against an already-built filter is
+Scale notes: ``bloom_dedup`` is a single pass — one shuffle on the key
+hash, then per-partition ``check_and_set`` in bounded (filter-sized)
+memory. ``dedup_against_filter`` (probing an already-built filter) is
 shuffle-free — a broadcast probe inside a pandas UDF over JVM-computed
-hashes. ``exact_dedup`` shuffles once on the key (window over hash
-partitioning); at 100 TB prefer ``bloom_dedup`` and reserve the exact
-path for bounded slices / validation.
+hashes. ``exact_dedup`` shuffles once on the key but holds per-key state
+(window / hash aggregate); at 100 TB prefer the sketch paths and reserve
+the exact path for bounded slices / validation.
 """
 
 from __future__ import annotations
@@ -27,7 +29,6 @@ from pyspark.sql import functions as F
 from bloom_spark.ops.build import (
     H1_COL,
     H2_COL,
-    build_sketch,
     membership_udf,
     with_hash_columns,
 )
@@ -91,28 +92,66 @@ def bloom_dedup(
     fpr: float = 1e-6,
     expected_n: int | None = None,
     num_partitions: int | None = None,
-) -> tuple[DataFrame, Sketch]:
-    """Two-pass distributed dedup: build a global Bloom filter over the
-    keys, then keep one representative row per distinct key.
+    order_col: str | None = None,
+) -> DataFrame:
+    """Single-pass sketch-routed dedup — the reference's EP-A pipeline
+    (stream → ``check_and_set`` → emit if fresh, process.rs:134-180)
+    distributed by key co-partitioning.
 
-    Pass 1 builds the mergeable filter (per-partition segments, tree
-    merge). Pass 2 is an exact first-wins *within* the sketch's candidate
-    set; at petabyte scale the filter is what you keep and re-use — e.g.
-    to dedup tomorrow's crawl against everything seen so far without
-    re-reading history (the reference's EP-B/EP-C file workflow,
-    SURVEY.md §3.2-3.3).
+    Shape: hash the keys JVM-side → ``repartition`` on the key hash (the
+    ONE shuffle; same key ⇒ same partition, so duplicates can never
+    straddle filters) → per-partition ``BloomSketch.check_and_set`` over
+    the Arrow batches → emit rows whose key was not yet seen. With
+    ``order_col`` the partition is sorted first (``sortWithinPartitions``
+    — no extra shuffle), giving exact first-occurrence-wins in that
+    order, ≙ the reference's stream order.
 
-    Returns (deduplicated DataFrame, the global BloomSketch).
+    Memory per task is the filter (m bits for ``expected_n`` keys at
+    ``fpr``), NOT the partition's distinct-key set — that is the entire
+    point of the sketch vs ``dropDuplicates`` at 10^12 rows. The
+    documented cost: a unique key can be falsely "seen" and dropped with
+    probability ≤ fpr (the reference CLI drops such lines identically).
+
+    ``expected_n`` is the filter capacity (≙ the reference's NUM in
+    ``-bls/-ble``; its no-args default is 200M lines, main.rs:339-342).
+    It must be supplied — sizing a Bloom filter needs a capacity, and a
+    silent ``df.count()`` here would add a full extra pass over the
+    input (flagged in round-1 review).
+
+    Returns the surviving rows only. For the reusable filter artifact
+    (EP-B), run :func:`build_sketch` — over these survivors if you want
+    it sized to distinct keys — and probe new batches with
+    :func:`dedup_against_filter` (EP-C).
     """
     if expected_n is None:
-        expected_n = max(1024, df.count())
-    sketch, _ = build_sketch(
-        df,
-        keys,
-        lambda: BloomSketch.from_fpr(expected_n, fpr),
-        num_partitions=num_partitions,
+        raise ValueError(
+            "bloom_dedup needs expected_n (filter capacity, ≙ the reference "
+            "CLI's NUM; its default pipeline uses 200_000_000)"
+        )
+    hashed = with_hash_columns(df, keys)
+    hashed = (
+        hashed.repartition(num_partitions, F.col(H1_COL))
+        if num_partitions
+        else hashed.repartition(F.col(H1_COL))
     )
-    return df.dropDuplicates(keys), sketch
+    if order_col is not None:
+        hashed = hashed.sortWithinPartitions(order_col)
+    out_cols = df.columns
+    schema = hashed.drop(H1_COL, H2_COL).schema
+
+    def fresh_rows(batches):
+        from bloom_spark.hashing import to_uint64
+
+        sketch = BloomSketch.from_fpr(expected_n, fpr)
+        for pdf in batches:
+            seen = sketch.check_and_set_hashes(
+                to_uint64(pdf[H1_COL]), to_uint64(pdf[H2_COL])
+            )
+            fresh = pdf.loc[~seen, out_cols]
+            if len(fresh):
+                yield fresh
+
+    return hashed.mapInPandas(fresh_rows, schema)
 
 
 def dedup_against_filter(

@@ -158,24 +158,40 @@ def ngram_jaccard_pairs(
     candidates: DataFrame | None = None,
     shingle_fn=char_shingles,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for all co-occurring pairs (or only the
-    ``candidates`` pairs, columns id_a < id_b). Returns
-    (id_a, id_b, jaccard double)."""
+    """Exact shingle-set Jaccard for the ``candidates`` pairs (columns
+    id_a < id_b), or for ALL co-occurring pairs when ``candidates`` is
+    None. Returns (id_a, id_b, jaccard double).
+
+    With candidates the work is proportional to the CANDIDATE set, not
+    the corpus: shingles are first semi-joined down to the ids that
+    appear in any candidate pair, and the co-occurrence self-join keeps
+    only candidate pairs *before* the groupBy — the round-1 review
+    caught the old shape paying the full unbounded all-pairs join and
+    filtering after. The all-pairs form (candidates=None) stays
+    quadratic by design — it is the verify/oracle stage for bounded
+    slices only.
+    """
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingle_fn(F.col(text_col), shingle_n)).alias("__sh"),
     )
+    if candidates is not None:
+        # bound every downstream stage to ids that can appear in output
+        cand = candidates.select("id_a", "id_b")
+        cand_ids = (
+            cand.select(F.col("id_a").alias("__id"))
+            .unionAll(cand.select(F.col("id_b").alias("__id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "__id", "left_semi")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__sz"))
     a = sh.select(F.col("__id").alias("id_a"), "__sh")
     b = sh.select(F.col("__id").alias("id_b"), "__sh")
-    inter = (
-        a.join(b, "__sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__inter"))
-    )
+    inter = a.join(b, "__sh").where(F.col("id_a") < F.col("id_b"))
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # keep candidate pairs only BEFORE counting co-occurrences
+        inter = inter.join(cand, ["id_a", "id_b"], "left_semi")
+    inter = inter.groupBy("id_a", "id_b").agg(F.count("*").alias("__inter"))
     out = (
         inter.join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__sz", "__sa"), "id_a")
         .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__sz", "__sb"), "id_b")
@@ -209,6 +225,10 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     )
+    # the candidate list is consumed twice inside the verify stage (id
+    # restriction + pair semi-join); persist it so the LSH pipeline runs
+    # once — candidates are tiny relative to the corpus by construction
+    cands = cands.persist()
     dups = ngram_jaccard_pairs(
         df, id_col, text_col, shingle_n=shingle_n,
         min_jaccard=min_jaccard, candidates=cands,
@@ -276,11 +296,21 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with SimHash Hamming distance ≤
     ``max_hamming``. Pigeonhole: with ``bands`` ≥ max_hamming+1 16-bit
     bands, any qualifying pair shares at least one exact band, so the
-    self-join is on (band, 16-bit value), not all-pairs."""
+    self-join is on (band, 16-bit value), not all-pairs.
+
+    ``max_bucket`` drops (band, key) buckets larger than the cap before
+    the within-bucket pairing — the same skew guard as
+    ``minhash_lsh_candidates``: one boilerplate band value shared by
+    millions of near-identical pages would otherwise go quadratic.
+    Pairs inside a dropped mega-bucket can still meet through any of
+    their other ``bands-1`` bands (recall loss only when EVERY shared
+    band is a mega-bucket, i.e. for boilerplate floods one intended to
+    drop anyway)."""
     bits = 64 // bands
     sh = simhash_table(df, id_col, text_col, "__sh").select(
         F.col(id_col).alias("__id"), "__sh"
@@ -302,6 +332,12 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__sh", "bk.band", "bk.key")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "key").agg(F.count("*").alias("__n"))
+        banded = banded.join(
+            sizes.where(F.col("__n") <= max_bucket).select("band", "key"),
+            ["band", "key"],
+        )
     l = banded.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), "band", "key")
     r = banded.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), "band", "key")
     return (

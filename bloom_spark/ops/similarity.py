@@ -125,6 +125,101 @@ def lsh_bucket_keys(
     )
 
 
+def lsh_index(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """The materializable corpus-side LSH index: one row per
+    (table, bucket, id, vec). Compute it ONCE, persist/write it
+    partitioned by (table, bucket), and serve every subsequent query
+    from it — at 10^12 rows this is the difference between an index
+    lookup and re-hashing the corpus per query. Buckets are
+    deterministic Catalyst expressions of (vec, seed), so the index is
+    reproducible and incrementally extendable (new rows append their
+    own bucket rows)."""
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            lsh_bucket_keys(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("tb"),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+
+
+def query_buckets_local(
+    queries_pdf, dim: int, vec_col: str = "embedding",
+    n_planes: int = 12, n_tables: int = 4, seed: int = 42,
+):
+    """(n_tables, n_queries) bucket ids for a *small* query batch,
+    computed driver-side in numpy from the same seeded hyperplanes the
+    index used — probing needs no Catalyst hyperplane expressions at
+    all. (numpy's pairwise summation can disagree with the Catalyst
+    left-fold in the last ulp for dots exactly at 0 — a measure-zero
+    bucket flip that only perturbs candidate sets, never correctness of
+    the exact re-rank.)"""
+    vecs = np.array(
+        [np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]]
+    )
+    out = np.empty((n_tables, len(vecs)), dtype=np.int64)
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, t, seed)
+        bits = (vecs @ planes.T) > 0
+        out[t] = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+    return out
+
+
+def lsh_topk_indexed(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k served from a precomputed ``lsh_index``: query
+    buckets are computed driver-side (bounded query set), shipped as a
+    broadcast (table, bucket, query_id, qvec) table, and joined against
+    the index — the corpus is never re-hashed. Same output shape as
+    ``brute_force_topk``."""
+    spark = queries.sparkSession
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    buckets = query_buckets_local(
+        qpdf, dim, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    rows = [
+        (int(t), int(buckets[t, i]), qid, [float(x) for x in qv])
+        for t in range(n_tables)
+        for i, (qid, qv) in enumerate(zip(qpdf[query_id_col], qpdf[vec_col]))
+    ]
+    probe = spark.createDataFrame(
+        rows, f"table int, bucket long, {query_id_col} long, __qvec array<double>"
+    )
+    cands = (
+        index.join(F.broadcast(probe), ["table", "bucket"])
+        .select(query_id_col, id_col, vec_col, "__qvec")
+        .dropDuplicates([query_id_col, id_col])
+    )
+    scored = cands.select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,9 +274,14 @@ def train_centroids(
 
     The sample is small and fixed-size regardless of corpus scale (this is
     how IVF indexes are trained in practice); assignment of the full
-    corpus stays distributed and JVM-side (``ivf_cell``)."""
+    corpus stays distributed and JVM-side (``ivf_cell``). The sample is
+    drawn by ordering on a seeded row hash and taking the top ``sample``
+    rows (TakeOrderedAndProject — no count pass, no shuffle of the full
+    data): uniform over the corpus, unlike ``limit()`` which reads the
+    head of the first partitions (round-1 review)."""
     pdf = (
         corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
         .limit(sample)
         .toPandas()
     )

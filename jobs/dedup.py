@@ -61,7 +61,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from bloom_spark.ops.build import salted_repartition
     from bloom_spark.ops.checkpoint import SketchCheckpoint
-    from bloom_spark.ops.dedup import exact_dedup, filter_members
+    from bloom_spark.ops.dedup import bloom_dedup, filter_members
     from bloom_spark.sketch import BloomSketch
 
     # spark-submit provides the session config (master, executors, memory);
@@ -102,7 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         if not args.filter_only:
             if not args.output:
                 raise SystemExit("dedup mode requires --output")
-            survivors = exact_dedup(df, keys)
+            # sketch-routed single-pass dedup (bounded memory per task);
+            # exact_dedup remains available for bounded validation slices
+            survivors = bloom_dedup(
+                spark, df, keys, fpr=args.fpr, expected_n=args.expected_n
+            )
             survivors.write.mode("overwrite").parquet(args.output)
             stats["rows_out"] = spark.read.parquet(args.output).count()
     stats["wall_s"] = round(time.time() - t0, 2)

@@ -85,6 +85,26 @@ def test_lsh_recall(spark, emb):
     assert all(r["cos"] <= 1.0 + 1e-9 for r in approx.collect())
 
 
+def test_lsh_indexed_matches_inline(spark, emb):
+    """The precomputed-index probe path must return the same result set
+    as the inline lsh_topk (same planes/seed), without re-hashing the
+    corpus per query."""
+    from bloom_spark.ops.similarity import lsh_index, lsh_topk_indexed
+
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    inline = lsh_topk(emb, queries, k=5, dim=DIM, n_planes=4, n_tables=24)
+    index = lsh_index(emb, dim=DIM, n_planes=4, n_tables=24).persist()
+    try:
+        indexed = lsh_topk_indexed(
+            index, queries, k=5, dim=DIM, n_planes=4, n_tables=24
+        )
+        a = {(r["query_id"], r["rank"], r["vec_id"]) for r in inline.collect()}
+        b = {(r["query_id"], r["rank"], r["vec_id"]) for r in indexed.collect()}
+    finally:
+        index.unpersist()
+    assert a == b
+
+
 def test_cosine_neardup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),

@@ -158,10 +158,42 @@ class TestDedupOps:
         assert sorted(out["line_no"]) == list(range(10))  # first occurrences
 
     def test_bloom_dedup_counts(self, spark, valid):
-        deduped, sketch = bloom_dedup(spark, valid, ["text"], fpr=1e-8)
+        deduped = bloom_dedup(
+            spark, valid, ["text"], fpr=1e-8, expected_n=N_PAGES
+        )
         exact = valid.select("text").distinct().count()
         assert deduped.count() == exact
-        assert sketch.n_inserted == valid.count()
+
+    def test_bloom_dedup_is_lazy_single_pass(self, spark, valid):
+        """Round-1 review: bloom_dedup ran a driver count() + a filter
+        build + dropDuplicates (3 passes, sketch unused in the answer).
+        Now it must be LAZY (no job at construction) and its one action
+        must be the check_and_set pass itself."""
+        sc = spark.sparkContext
+        sc.setJobGroup("bd-lazy", "bloom_dedup construction")
+        out = bloom_dedup(spark, valid, ["text"], fpr=1e-8, expected_n=N_PAGES)
+        assert sc.statusTracker().getJobIdsForGroup("bd-lazy") == []
+        sc.setJobGroup("bd-run", "bloom_dedup action")
+        assert out.count() == valid.select("text").distinct().count()
+        assert len(sc.statusTracker().getJobIdsForGroup("bd-run")) >= 1
+
+    def test_bloom_dedup_first_wins_order(self, spark, valid):
+        import pyspark.sql.functions as F
+
+        docs = valid.select("url", "text").withColumn(
+            "ord", F.xxhash64("url")
+        )
+        doubled = docs.unionByName(
+            docs.withColumn("ord", F.col("ord") + F.lit(1))
+        )
+        out = bloom_dedup(
+            spark, doubled, ["text"], fpr=1e-9,
+            expected_n=N_PAGES, order_col="ord",
+        ).toPandas()
+        first = (
+            doubled.groupBy("text").agg(F.min("ord").alias("ord")).toPandas()
+        )
+        assert sorted(out["ord"]) == sorted(first["ord"])
 
     def test_filter_against_saved_filter(self, spark, valid):
         # EP-B/EP-C: build+persist, second pass filters to zero
