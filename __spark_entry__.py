@@ -62,6 +62,31 @@ def q_bloom_inverse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cascade_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 multi-filter cascade (reference main.rs:327-376): probe TWO
+    named filters at once — membership is the OR over both, so the
+    output is rows present in NEITHER slice's filter. Each filter is a
+    full distributed build; the cascade broadcast-probes like any
+    single sketch."""
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.cascade import SketchCascade
+    from bloom_spark.ops.dedup import dedup_against_filter
+    from bloom_spark.sketch import BloomSketch
+
+    docs = _docs(spark, sf_dir)
+    f0, _ = build_sketch(
+        docs.where(docs.source == "src0"), ["text"],
+        lambda: BloomSketch.from_fpr(200_000, 1e-9),
+    )
+    f1, _ = build_sketch(
+        docs.where(docs.source == "src1"), ["text"],
+        lambda: BloomSketch.from_fpr(200_000, 1e-9),
+    )
+    cascade = SketchCascade([f0, f1])
+    out = dedup_against_filter(spark, docs, ["text"], cascade)
+    return out.select("doc_id", "text")
+
+
 def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact first-occurrence-wins dedup (reference process.rs:208-217):
     duplicates injected by self-union, first kept by doc_id order."""
@@ -70,6 +95,40 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     doubled = docs.unionAll(docs.withColumn("doc_id", docs.doc_id + 10_000_000))
     return exact_dedup(doubled, ["text"], order_col="doc_id")
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-granularity dedup — the reference's actual record unit
+    (read_until(b'\\n'), process.rs:44-60). Synthesizes multi-line pages
+    with REPEATED lines (line source = documents text of doc_id % 350,
+    5 lines/page), then explode(split(text,'\\n')) → single-pass bloom
+    dedup, first occurrence in page/line order wins. Oracle replays the
+    identical page construction + unnest(string_split(...)) in DuckDB."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.dedup import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    src = docs.select((F.col("doc_id") % 350).alias("src_id"), "doc_id").join(
+        docs.select(F.col("doc_id").alias("src_id"), "text"), "src_id"
+    )
+    pages = (
+        src.groupBy(F.floor(F.col("doc_id") / 5).alias("page_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    out = line_dedup(
+        spark, pages, "text", "page_id", fpr=1e-9,
+        expected_n=200_000, lines_per_doc=1000,
+    )
+    return out.select("line", F.col("__ord").alias("first_ord"))
 
 
 def q_bloom_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xxh_anti_filter": q_xxh_anti_filter,
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "bloom_inverse_filter": q_bloom_inverse_filter,
+        "cascade_anti_filter": q_cascade_anti_filter,
         "bloom_distinct_count": q_bloom_distinct_count,
+        "line_dedup": q_line_dedup,
         "dedup_first_wins": q_dedup_first_wins,
         "dedup_passthrough": q_dedup_passthrough,
         "hll_distinct_users": q_hll_distinct_users,
@@ -732,7 +793,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE text IN (SELECT text FROM documents WHERE source = 'src1')
         """,
+        "cascade_anti_filter": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (
+                SELECT text FROM documents WHERE source IN ('src0', 'src1')
+            )
+        """,
         "bloom_distinct_count": "SELECT count(DISTINCT text) AS distinct_texts FROM documents",
+        "line_dedup": """
+            WITH src AS (
+              SELECT d.doc_id, s.text
+              FROM documents d JOIN documents s ON s.doc_id = d.doc_id % 350
+            ), pages AS (
+              SELECT d.doc_id // 5 AS page_id,
+                     string_agg(text, chr(10) ORDER BY d.doc_id) AS text
+              FROM src d GROUP BY 1
+            ), lines AS (
+              SELECT page_id, i - 1 AS line_no, ls[i] AS line
+              FROM (SELECT page_id, string_split(text, chr(10)) AS ls FROM pages),
+                   LATERAL unnest(generate_series(1, len(ls))) AS t(i)
+            )
+            SELECT line, min(page_id * 1000 + line_no) AS first_ord
+            FROM lines GROUP BY line
+        """,
         "dedup_first_wins": """
             WITH doubled AS (
                 SELECT doc_id, text FROM documents

@@ -6,6 +6,11 @@ from bloom_spark.ops.build import (  # noqa: F401
     salted_repartition,
     with_hash_columns,
 )
+from bloom_spark.ops.cascade import (  # noqa: F401
+    SketchCascade,
+    build_from_spec,
+    pair_specs,
+)
 from bloom_spark.ops.checkpoint import SketchCheckpoint  # noqa: F401
 from bloom_spark.ops.dedup import (  # noqa: F401
     bloom_dedup,
@@ -13,6 +18,7 @@ from bloom_spark.ops.dedup import (  # noqa: F401
     dedup_with_passthrough,
     exact_dedup,
     filter_members,
+    line_dedup,
     mark_members,
     semi_join_filter,
 )

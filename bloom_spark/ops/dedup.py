@@ -154,6 +154,41 @@ def bloom_dedup(
     return hashed.mapInPandas(fresh_rows, schema)
 
 
+def line_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    fpr: float = 1e-9,
+    expected_n: int | None = None,
+    num_partitions: int | None = None,
+    lines_per_doc: int = 1_000_000,
+) -> DataFrame:
+    """Dedup at the reference's ACTUAL record granularity — one text
+    LINE (``read_until(b'\\n')``, reference src/bloom/process.rs:44-60;
+    its e2e test dedups lines, tests/integration_tests.rs:4-38).
+
+    ``posexplode(split(text, '\\n'))`` JVM-side, then the single-pass
+    sketch dedup (:func:`bloom_dedup`) keyed on the line with stream
+    order ``id*lines_per_doc + line_no`` — first occurrence in document
+    order wins, exactly the reference's stdin loop semantics. Returns
+    one row per distinct line: (``line``, ``line_no``, ``id_col``, plus
+    ``__ord`` the first-occurrence order key).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    ).withColumn(
+        "__ord",
+        F.col(id_col) * F.lit(lines_per_doc) + F.col("line_no"),
+    )
+    return bloom_dedup(
+        spark, lines, ["line"],
+        fpr=fpr, expected_n=expected_n,
+        num_partitions=num_partitions, order_col="__ord",
+    )
+
+
 def dedup_against_filter(
     spark: SparkSession,
     df: DataFrame,

@@ -9,9 +9,24 @@ explicitly (callers can override per job).
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import SparkSession
+
+# library-wide logger: data-path operators emit WARNINGs here (e.g. a
+# full cascade passing unique keys through unfiltered)
+LOGGER = logging.getLogger("bloom_spark")
+
+
+def silence_warnings(enabled: bool = True, spark: SparkSession | None = None) -> None:
+    """F5 ≙ the reference's ``-sw`` flag (src/main.rs:300,
+    src/bloom/process.rs:48-50): suppress per-record/operator warnings
+    while keeping errors. Applies to the ``bloom_spark`` Python logger
+    and, when a session is given, the JVM log level."""
+    LOGGER.setLevel(logging.ERROR if enabled else logging.WARNING)
+    if spark is not None:
+        spark.sparkContext.setLogLevel("ERROR" if enabled else "WARN")
 
 
 def get_session(

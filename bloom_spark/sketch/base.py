@@ -76,6 +76,13 @@ class Sketch(ABC):
         off = _HEADER.size
         params = json.loads(blob[off : off + plen])
         payload = blob[off + plen :]
+        if cls is Sketch and kind not in _REGISTRY:
+            # lazy-populate the registry: a fresh UDF worker process may
+            # deserialize a kind whose module it never imported
+            import importlib
+
+            for mod in ("bloom_spark.sketch", "bloom_spark.ops.cascade"):
+                importlib.import_module(mod)
         target = _REGISTRY[kind] if cls is Sketch else cls
         if cls is not Sketch and kind != cls.KIND:
             raise ValueError(f"expected {cls.KIND} sketch, got {kind}")

@@ -124,11 +124,17 @@ class BloomSketch(Sketch):
         return cls(m, k, limit=limit if limit is not None else n)
 
     @classmethod
-    def from_size(cls, n: int, size_bytes: int, limit: int | None = None) -> "BloomSketch":
+    def from_size(
+        cls, n: int, size_bytes: int | str, limit: int | None = None
+    ) -> "BloomSketch":
         """≙ ``-bls NUM,SIZE``: m fixed by bytes (rounded DOWN to a power
         of two so the filter never exceeds the requested budget and index
-        reduction is a bitmask), k derived from m/n."""
-        m_req = max(64, int(size_bytes) * 8)
+        reduction is a bitmask), k derived from m/n. ``size_bytes``
+        accepts reference CLI unit strings (``"2Gb"``, ``"100MiB"`` —
+        config.parse_size, H6)."""
+        from bloom_spark.config import parse_size
+
+        m_req = max(64, parse_size(size_bytes) * 8)
         m = 1 << (m_req.bit_length() - 1)
         k = max(1, round(m / max(1, n) * math.log(2)))
         return cls(m, k, limit=limit if limit is not None else n)

@@ -51,9 +51,19 @@ _FP_MASK = np.uint64((1 << KEY_BITS) - 1)
 class XXHFingerprintTable(Sketch):
     KIND = "xxhtab"
 
-    def __init__(self, size_bytes: int, limit: int | None = None):
-        self.size_bytes = int(size_bytes)
+    def __init__(
+        self, size_bytes: int, limit: int | None = None, remap_slots: bool = False
+    ):
+        from bloom_spark.config import parse_size
+
+        self.size_bytes = parse_size(size_bytes)
         self.num_slots = max(NUM_TRIES, self.size_bytes * 8 // SLOT_BITS)
+        # remap_slots=True reproduces the reference's slot index exactly:
+        # an f64 linear rescale of the hash onto [0, num_slots-1] then a
+        # modulo (container_memory_xxh.rs:21-28) — needed for bit-level
+        # .blf interop (io/blf.py). Our default stays the plain modulo
+        # (the rescale is an artifact, SURVEY.md §2.4 H3).
+        self.remap_slots = bool(remap_slots)
         self.limit = int(limit) if limit is not None else None
         self.n_inserted = 0
         self.occupied = np.zeros(self.num_slots, dtype=bool)
@@ -67,9 +77,17 @@ class XXHFingerprintTable(Sketch):
     # -- probing ---------------------------------------------------------------
     def _base(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         h = to_uint64(h)
-        return (h % np.uint64(self.num_slots)).astype(np.int64), (
-            h & _FP_MASK
-        ).astype(np.uint32)
+        if self.remap_slots:
+            # (hash as f64) * (num_slots-1) / (u64::MAX as f64), truncated,
+            # then % num_slots — IEEE-754 ops in the reference's order so
+            # slot indices match bit-for-bit (container_memory_xxh.rs:21-28)
+            slot = (
+                h.astype(np.float64) * float(self.num_slots - 1) / 18446744073709551615.0
+            ).astype(np.uint64) % np.uint64(self.num_slots)
+            slot = slot.astype(np.int64)
+        else:
+            slot = (h % np.uint64(self.num_slots)).astype(np.int64)
+        return slot, (h & _FP_MASK).astype(np.uint32)
 
     def contains_hashes(self, h: np.ndarray, _h2: np.ndarray | None = None) -> np.ndarray:
         """≙ find_key: True on fingerprint match OR on all-4-occupied
@@ -192,6 +210,7 @@ class XXHFingerprintTable(Sketch):
             "size_bytes": self.size_bytes,
             "limit": self.limit,
             "n_inserted": self.n_inserted,
+            "remap_slots": self.remap_slots,
             # fmt "hashes": payload = raw uint64 hashes, replayed on load.
             # Legacy/interop payloads ("slots") deserialize probe-only.
             "fmt": "hashes" if self.replayable else "slots",
@@ -211,7 +230,11 @@ class XXHFingerprintTable(Sketch):
 
     @classmethod
     def _from_params(cls, params: dict, payload: bytes) -> "XXHFingerprintTable":
-        s = cls(params["size_bytes"], limit=params.get("limit"))
+        s = cls(
+            params["size_bytes"],
+            limit=params.get("limit"),
+            remap_slots=params.get("remap_slots", False),
+        )
         if params.get("fmt", "slots") == "hashes":
             # rebuild by replaying the raw hashes from their true bases;
             # the chunk is kept verbatim (not re-filtered), so every

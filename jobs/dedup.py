@@ -39,6 +39,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _size(s: str) -> int:
+    from bloom_spark.config import parse_size
+
+    return parse_size(s)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="input parquet path")
@@ -46,13 +52,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--keys", default="text", help="comma-separated key columns")
     ap.add_argument("--checkpoint", required=True, help="checkpoint/lineage dir")
     ap.add_argument("--run-id", required=True)
-    ap.add_argument("--expected-n", type=int, default=1_000_000)
+    # accepts reference CLI unit strings: "200M" lines, "2Gb" (≙ -bls/-xls
+    # NUM[UNIT] semantics, parse-size crate — bloom_spark.config.parse_size)
+    ap.add_argument("--expected-n", type=_size, default="1M")
     ap.add_argument("--fpr", type=float, default=1e-6)
     ap.add_argument("--n-units", type=int, default=16)
     ap.add_argument("--salt-key", help="skew column to salt-repartition on")
     ap.add_argument("--partitions", type=int)
     ap.add_argument("--filter-only", action="store_true")
-    ap.add_argument("--against", help="probe against saved sketch NAME (EP-C)")
+    ap.add_argument(
+        "--against",
+        help="probe against saved sketch NAME(s), comma-separated — "
+        "multiple names form a cascade probed as OR (reference T6, "
+        "main.rs:327-376) (EP-C)",
+    )
     ap.add_argument("--inverse", action="store_true", help="emit members (ref -i)")
     ap.add_argument("--sketch-name", default="global")
     args = ap.parse_args(argv)
@@ -75,8 +88,13 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     if args.against:
-        # EP-C: read-only probe against an existing filter
-        sketch = ck.load_sketch(args.against)
+        # EP-C: read-only probe against existing filter(s); several
+        # names cascade (membership = OR over all)
+        from bloom_spark.ops.cascade import SketchCascade
+
+        names = args.against.split(",")
+        members = [ck.load_sketch(n) for n in names]
+        sketch = members[0] if len(members) == 1 else SketchCascade(members)
         out = filter_members(spark, df, keys, sketch, keep_members=args.inverse)
         if not args.output:
             raise SystemExit("--against requires --output")

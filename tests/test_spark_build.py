@@ -177,6 +177,22 @@ class TestDedupOps:
         assert out.count() == valid.select("text").distinct().count()
         assert len(sc.statusTracker().getJobIdsForGroup("bd-run")) >= 1
 
+    def test_line_dedup_seq_twice(self, spark):
+        """≙ the reference's e2e test (tests/integration_tests.rs:4-38):
+        seq 1..10 twice through the pipeline → exactly 10 lines, each
+        once, first occurrences kept — at LINE granularity."""
+        from bloom_spark.ops.dedup import line_dedup
+
+        seq = "\n".join(str(i) for i in range(1, 11))
+        df = spark.createDataFrame(
+            [(0, seq), (1, seq)], "doc_id long, text string"
+        )
+        out = line_dedup(
+            spark, df, "text", "doc_id", fpr=1e-9, expected_n=1000
+        ).toPandas()
+        assert sorted(out["line"], key=int) == [str(i) for i in range(1, 11)]
+        assert (out["doc_id"] == 0).all()  # first doc wins every line
+
     def test_bloom_dedup_first_wins_order(self, spark, valid):
         import pyspark.sql.functions as F
 
