@@ -51,7 +51,7 @@ UNIT_COL = "__bs_unit"
 
 LINEAGE_SCHEMA = (
     "unit int, segment_id long, n_rows long, input_fingerprint long, "
-    "sketch binary, committed_ts double"
+    "sketch binary, sketch_bytes long, peak_rss_kb long, committed_ts double"
 )
 
 
@@ -119,6 +119,17 @@ class SketchCheckpoint:
         unit_col = unit_col or (cols[0] if cols else value_col)
         if unit_col is None:
             raise ValueError("need unit_col, cols, or value_col to slice units")
+        # resuming with different slicing would silently double-count or
+        # miss rows across units — refuse instead (round-1 advice)
+        info = self.run_info(run_id)
+        if info is not None and (
+            info.get("n_units") != n_units or info.get("unit_col") != unit_col
+        ):
+            raise ValueError(
+                f"run {run_id!r} was started with n_units="
+                f"{info.get('n_units')}, unit_col={info.get('unit_col')!r}; "
+                f"cannot resume with n_units={n_units}, unit_col={unit_col!r}"
+            )
         sliced = df.withColumn(
             UNIT_COL, F.pmod(F.xxhash64(F.col(unit_col), F.lit("unit")), F.lit(n_units))
         )
@@ -201,6 +212,8 @@ def _segments_with_lineage(
         src = with_hash_columns(df, cols).select(H1_COL, H2_COL)
 
     def fn(batches):
+        import resource
+
         import numpy as np
 
         sketch = factory()
@@ -217,13 +230,21 @@ def _segments_with_lineage(
             fp ^= np.bitwise_xor.reduce(h1) if len(h1) else np.uint64(0)
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
+        blob = sketch.to_bytes()
+        # M4 memory report ≙ the reference's -dm RSS deltas
+        # (src/bloom/process.rs:82-91): peak RSS of the Python worker
+        # that built this segment (ru_maxrss is KB on Linux), plus the
+        # serialized sketch size — both per-partition lineage metrics.
+        peak_rss_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
         yield pd.DataFrame(
             {
                 "unit": [unit],
                 "segment_id": [pid],
                 "n_rows": [n],
                 "input_fingerprint": [int(fp.view(np.int64))],
-                "sketch": [sketch.to_bytes()],
+                "sketch": [blob],
+                "sketch_bytes": [len(blob)],
+                "peak_rss_kb": [int(peak_rss_kb)],
                 "committed_ts": [time.time()],
             }
         )

@@ -25,11 +25,28 @@ from bloom_spark.sketch.base import Sketch
 GLOBAL = "stream_global"
 
 
+def _sketch_name(batch_id: int) -> str:
+    return f"{GLOBAL}.b{int(batch_id)}"
+
+
 def _load_global(ck: SketchCheckpoint) -> Sketch | None:
-    try:
-        return ck.load_sketch(GLOBAL)
-    except FileNotFoundError:
+    """The filter state as of the LAST COMMITTED batch.
+
+    Sketch saves are versioned per batch id and resolved through the
+    manifest: a crash after ``save_sketch`` but before ``_commit`` must
+    leave the previous batch's filter authoritative, otherwise the
+    replayed batch would see its own keys as duplicates and emit (then
+    overwrite in place) an empty survivor set — silent row loss, the
+    mirror image of the duplicate-append bug this replaces."""
+    info = ck.run_info("stream_batches")
+    if not info or not info["units"]:
         return None
+    return ck.load_sketch(_sketch_name(max(info["units"])))
+
+
+def load_stream_state(ck: SketchCheckpoint) -> Sketch | None:
+    """Public accessor for the committed global stream filter/sketch."""
+    return _load_global(ck)
 
 
 def _committed(ck: SketchCheckpoint, batch_id: int) -> bool:
@@ -46,6 +63,14 @@ def _commit(ck: SketchCheckpoint, batch_id: int, n_rows: int) -> None:
         run["units"] = sorted(run["units"] + [int(batch_id)])
     run.setdefault("rows", {})[str(batch_id)] = int(n_rows)
     ck._commit_manifest(manifest)
+    # prune superseded sketch versions (keep the two newest committed)
+    import os
+
+    for old in run["units"][:-2]:
+        try:
+            os.remove(ck.sketch_path(_sketch_name(old)))
+        except FileNotFoundError:
+            pass
 
 
 def foreach_batch_sketch_build(
@@ -65,7 +90,11 @@ def foreach_batch_sketch_build(
         current = _load_global(ck)
         if current is not None:
             sketch = current.merge(sketch)
-        ck.save_sketch(GLOBAL, sketch)
+        # versioned save + manifest commit: a replay after a crash folds
+        # the batch into the LAST COMMITTED state again instead of
+        # double-merging into an already-updated global (CMS/HLL counts
+        # would otherwise drift)
+        ck.save_sketch(_sketch_name(batch_id), sketch)
         _commit(ck, batch_id, n)
 
     return fn
@@ -79,9 +108,13 @@ def foreach_batch_bloom_dedup(
     order_col: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """Streaming dedup: per micro-batch, drop rows already in the global
-    filter (seen in ANY earlier batch), exact-dedup within the batch,
-    append survivors to the parquet sink, then fold the batch's keys into
-    the filter. ≙ the reference's default pipeline (EP-A) with the input
+    filter (seen in ANY earlier batch of a COMMITTED state), exact-dedup
+    within the batch, overwrite the batch's own ``batch_id=N`` sink
+    directory with its survivors, then fold the batch's keys into a
+    versioned filter save and commit. Every step is idempotent under
+    replay-after-crash: the sink overwrite cannot append duplicates and
+    the versioned filter cannot hide the batch's own keys from its
+    replay. ≙ the reference's default pipeline (EP-A) with the input
     arriving incrementally."""
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
@@ -95,12 +128,19 @@ def foreach_batch_bloom_dedup(
             else batch_df
         )
         survivors = exact_dedup(fresh, keys, order_col=order_col)
-        survivors.write.mode("append").parquet(sink_dir)
+        # idempotent sink: each batch owns a batch_id-scoped directory,
+        # written with overwrite — a crash between this write and the
+        # manifest commit makes the replayed batch OVERWRITE its own
+        # partial output instead of appending duplicates (round-1
+        # advice; a plain append broke the exactly-once claim)
+        survivors.write.mode("overwrite").parquet(
+            f"{sink_dir}/batch_id={int(batch_id)}"
+        )
         segs = build_segments(batch_df, keys, factory)
         sketch, n = merge_segments(segs)
         if current is not None:
             sketch = current.merge(sketch)
-        ck.save_sketch(GLOBAL, sketch)
+        ck.save_sketch(_sketch_name(batch_id), sketch)
         _commit(ck, batch_id, n)
 
     return fn

@@ -74,13 +74,35 @@ def test_lineage_table(spark, docs, tmp_path):
     )
     lin = ck.lineage(spark, "r")
     assert set(lin.columns) == {
-        "unit", "segment_id", "n_rows", "input_fingerprint", "sketch", "committed_ts",
+        "unit", "segment_id", "n_rows", "input_fingerprint", "sketch",
+        "sketch_bytes", "peak_rss_kb", "committed_ts",
     }
     agg = lin.agg(
         F.sum("n_rows").alias("n"), F.countDistinct("unit").alias("u")
     ).collect()[0]
     assert agg["n"] == docs.count()
     assert agg["u"] == 4
+    # M4 memory metrics: every build partition reports its worker's peak
+    # RSS and the serialized segment size (≙ reference -dm RSS report)
+    mm = lin.agg(
+        F.min("peak_rss_kb").alias("rss"), F.min("sketch_bytes").alias("sb")
+    ).collect()[0]
+    assert mm["rss"] > 0 and mm["sb"] > 0
+
+
+def test_resume_with_different_slicing_refused(spark, docs, tmp_path):
+    ck = SketchCheckpoint(str(tmp_path / "ck"))
+    factory = lambda: BloomSketch.from_fpr(2000, 1e-6)  # noqa: E731
+    ck.build(spark, docs, ["text"], factory, run_id="r", n_units=4, max_units=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot resume"):
+        ck.build(spark, docs, ["text"], factory, run_id="r", n_units=5)
+    with pytest.raises(ValueError, match="cannot resume"):
+        ck.build(
+            spark, docs, ["text"], factory,
+            run_id="r", n_units=4, unit_col="doc_id",
+        )
 
 
 def test_sketch_file_roundtrip(spark, docs, tmp_path):

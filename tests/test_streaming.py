@@ -8,7 +8,7 @@ import pytest
 from bloom_spark.ops.checkpoint import SketchCheckpoint
 from bloom_spark.sketch import BloomSketch, HyperLogLog
 from bloom_spark.streaming.sketch_stream import (
-    GLOBAL,
+    load_stream_state,
     foreach_batch_bloom_dedup,
     foreach_batch_sketch_build,
     run_available_now,
@@ -45,7 +45,7 @@ def test_stream_sketch_build_matches_batch(spark, tmp_path):
     fn = foreach_batch_sketch_build(ck, ["text"], lambda: HyperLogLog(12))
     run_available_now(_stream(spark, src), fn, str(tmp_path / "qck"))
 
-    got = ck.load_sketch(GLOBAL)
+    got = load_stream_state(ck)
     exact = docs.select("text").distinct().count()
     assert abs(got.estimate() - exact) / exact < 0.1
     # batches committed with lineage
@@ -94,6 +94,41 @@ def test_stream_dedup_across_restarts(spark, tmp_path):
         str(tmp_path / "qck2"),
     )
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_stream_crash_replay_no_dup_no_loss(spark, tmp_path, monkeypatch):
+    """Crash AFTER the sink write and sketch save but BEFORE the manifest
+    commit, then replay the batch: the sink must hold each survivor
+    exactly once (no duplicate append, no wiped batch directory)."""
+    import bloom_spark.streaming.sketch_stream as ss
+
+    src = str(tmp_path / "src")
+    _write_chunks(spark, src)
+    ck = SketchCheckpoint(str(tmp_path / "ck"))
+    sink = str(tmp_path / "sink")
+    factory = lambda: BloomSketch.from_fpr(2000, 1e-9)  # noqa: E731
+    fn = foreach_batch_bloom_dedup(ck, ["text"], factory, sink, order_col="doc_id")
+
+    batch = spark.read.parquet(f"{src}/chunk0")
+    real_commit = ss._commit
+    calls = {"n": 0}
+
+    def crashy(ck_, bid, n):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash before commit")
+        real_commit(ck_, bid, n)
+
+    monkeypatch.setattr(ss, "_commit", crashy)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fn(batch, 0)
+    fn(batch, 0)  # replay of the same batch id
+    out = spark.read.parquet(sink)
+    expected = batch.select("text").distinct().count()
+    assert out.count() == expected, "replay dropped or duplicated rows"
+    assert out.groupBy("text").count().where("count > 1").count() == 0
 
 
 def test_windowed_event_counts_batch_semantics(spark):
