@@ -86,6 +86,44 @@ def main() -> None:
     docs_per_sec = (n_seen + n_probed) / dt if dt > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
+
+    # ---- round-over-round diff: compare against the newest BENCH_r*.json
+    # committed by the driver so per-query regressions are caught
+    # mechanically (stderr report + summary keys in the JSON line).
+    prev_total, regressions = None, []
+    try:
+        import glob
+        import re as _re
+
+        cands = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"_r0*(\d+)", p).group(1)),
+        )
+        if cands:
+            with open(cands[-1]) as f:
+                prev_doc = json.load(f)
+            prev = prev_doc.get("parsed", prev_doc)
+            prev_q = prev.get("queries", {})
+            prev_total = prev.get("value")
+            for name, t in timings.items():
+                p = prev_q.get(name)
+                if p is None:
+                    print(f"[bench-diff] {name}: NEW ({t}s)", file=sys.stderr)
+                elif t > p * 1.3 and t - p > 0.5:
+                    regressions.append(name)
+                    print(
+                        f"[bench-diff] {name}: REGRESSION {p}s -> {t}s",
+                        file=sys.stderr,
+                    )
+                else:
+                    print(
+                        f"[bench-diff] {name}: {p}s -> {t}s ({t - p:+.2f})",
+                        file=sys.stderr,
+                    )
+    except Exception as e:  # diffing must never fail the bench
+        print(f"[bench-diff] skipped: {e}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -98,6 +136,8 @@ def main() -> None:
                 "n_pages": int(n_seen),
                 "docs_per_sec": round(docs_per_sec, 1),
                 "pages_survivors": int(survivors),
+                "prev_total": prev_total,
+                "regressions_vs_prev": regressions,
             }
         ),
         flush=True,

@@ -8,15 +8,19 @@ broadcast of the (small) query set against the corpus, and a per-query
 Scale path: random-hyperplane LSH (Charikar 2002, SimHash for angles).
 ``n_planes`` sign bits per table bucket the corpus; candidates = same
 bucket in any of ``n_tables`` tables; exact cosine re-rank on candidates
-only. Hyperplanes are deterministic literals (seeded numpy), so bucket
-assignment is a reproducible Catalyst expression and the corpus side can
-be precomputed/partitioned by bucket — at 10^12 rows the all-pairs
-cross join disappears and the probe shuffles only (bucket, id) pairs.
+only. Bucket assignment is one deterministic seeded matmul per Arrow
+batch (``bucket_array_udf`` — literal-array Catalyst planes were
+measured optimizer-bound, the k-replicated-Column blowup), so the
+corpus side can be precomputed once (``lsh_index``), persisted
+partitioned by bucket, and probed incrementally — at 10^12 rows the
+all-pairs cross join disappears and a probe shuffles only (bucket, id)
+pairs.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,6 +102,38 @@ def _hyperplanes(dim: int, n_planes: int, table: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def bucket_array_udf(
+    dim: int, n_planes: int, n_tables: int, seed: int
+):
+    """Vectorized Arrow UDF: vec → array of ``n_tables`` bucket ids
+    (element t = table t's packed sign bits).
+
+    Why a pandas UDF and not Catalyst literals: inlining n_tables ×
+    n_planes × dim literal plane coefficients builds an expression tree
+    with thousands of leaves per projection — optimizer/codegen time
+    dominates small jobs and grows with the plan, the same
+    k-replicated-Column blowup minhash_signatures documents. One matmul
+    per Arrow batch ((rows, dim) @ (dim, tables·planes)) is both
+    cheaper to plan and faster to run; determinism is unchanged (seeded
+    hyperplanes in the closure)."""
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)]
+    )  # (T, P, D)
+    proj = planes.reshape(-1, dim).T.copy()  # (D, T*P)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def fn(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        bits = (x @ proj) > 0  # (n, T*P)
+        b = bits.reshape(len(x), len(planes), -1) @ weights  # (n, T)
+        return pd.Series(list(b))
+
+    return fn
+
+
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Packed sign-bit bucket id for one table: bit p = (vec·plane_p > 0).
     Pure Catalyst — the plane is a literal array, the dot is zip_with."""
@@ -142,13 +178,12 @@ def lsh_index(
     deterministic Catalyst expressions of (vec, seed), so the index is
     reproducible and incrementally extendable (new rows append their
     own bucket rows)."""
+    udf = bucket_array_udf(dim, n_planes, n_tables, seed)
     return corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        F.explode(
-            lsh_bucket_keys(F.col(vec_col), dim, n_planes, n_tables, seed)
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+        F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+    )
 
 
 def query_buckets_local(
@@ -156,21 +191,19 @@ def query_buckets_local(
     n_planes: int = 12, n_tables: int = 4, seed: int = 42,
 ):
     """(n_tables, n_queries) bucket ids for a *small* query batch,
-    computed driver-side in numpy from the same seeded hyperplanes the
-    index used — probing needs no Catalyst hyperplane expressions at
-    all. (numpy's pairwise summation can disagree with the Catalyst
-    left-fold in the last ulp for dots exactly at 0 — a measure-zero
-    bucket flip that only perturbs candidate sets, never correctness of
-    the exact re-rank.)"""
-    vecs = np.array(
+    computed driver-side with the IDENTICAL matmul the index-side Arrow
+    UDF runs (same plane matrix layout, same summation order), so a
+    vector buckets the same whether it is indexed or probed."""
+    planes = np.stack(
+        [_hyperplanes(dim, n_planes, t, seed) for t in range(n_tables)]
+    )
+    proj = planes.reshape(-1, dim).T.copy()
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+    x = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]]
     )
-    out = np.empty((n_tables, len(vecs)), dtype=np.int64)
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, t, seed)
-        bits = (vecs @ planes.T) > 0
-        out[t] = bits @ (1 << np.arange(n_planes, dtype=np.int64))
-    return out
+    bits = (x @ proj) > 0
+    return (bits.reshape(len(x), n_tables, -1) @ weights).T
 
 
 def lsh_topk_indexed(
@@ -236,13 +269,12 @@ def lsh_topk(
 
     Same output shape as brute_force_topk; recall < 1 by design — measure
     it against the exact path on a sample (tests do)."""
+    udf = bucket_array_udf(dim, n_planes, n_tables, seed)
     keys = lambda df, idc: df.select(  # noqa: E731
         F.col(idc),
         F.col(vec_col),
-        F.explode(
-            lsh_bucket_keys(F.col(vec_col), dim, n_planes, n_tables, seed)
-        ).alias("tb"),
-    ).select(idc, vec_col, "tb.table", "tb.bucket")
+        F.posexplode(udf(F.col(vec_col))).alias("table", "bucket"),
+    )
     c = keys(corpus, id_col)
     q = keys(queries, query_id_col).withColumnRenamed(vec_col, "__qvec")
     cands = (
@@ -382,13 +414,10 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """Corpus-scale embedding near-dup: candidates from shared LSH
     buckets (skew-capped), exact cosine verification."""
-    keyed = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(
-            lsh_bucket_keys(F.col(vec_col), dim, n_planes, n_tables, seed)
-        ).alias("tb"),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    keyed = lsh_index(
+        df, dim, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
     sizes = keyed.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
     keyed = keyed.join(
         sizes.where(F.col("__n") <= max_bucket).select("table", "bucket"),
