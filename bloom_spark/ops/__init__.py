@@ -2,6 +2,7 @@ from bloom_spark.ops.build import (  # noqa: F401
     build_segments,
     build_sketch,
     membership_udf,
+    membership_udf_from_path,
     merge_segments,
     salted_repartition,
     with_hash_columns,

@@ -159,17 +159,23 @@ def merge_segments(
     ``~P^(1/depth)`` partials (≙ the reference's container chain
     collapsed by OR — SURVEY.md §2.3 T4). With sparse segments the
     combiner tasks perform the k-fold bit expansion in parallel.
-    ``n_segments`` (when the caller knows the partition count without
-    running a job) deepens the tree so the driver never folds more than
-    ~64 partials: depth = max(depth, log64(n_segments)). (An
-    applyInPandas groupBy fan-in was benchmarked ~3x slower here —
-    shuffling dense intermediate blobs costs more than the treeAggregate
-    pickle path.)
+    The tree depth is chosen so the driver's final single-threaded fold
+    pulls only ~4 partials (treeAggregate's per-level fan-in is
+    ``P^(1/depth)``): with a 10^9-key filter a dense partial is >100 MB,
+    and unpickling ~P^(1/2) of them on the driver was measured as THE
+    serial Amdahl term of the whole build (pull of 11×134 MB ≈ half the
+    merge wall time at 50M rows). Extra tree levels run as parallel
+    executor tasks instead. (An applyInPandas groupBy fan-in was
+    benchmarked ~3x slower still — shuffling dense intermediate blobs
+    through a full exchange costs more than the treeAggregate path.)
     """
-    if n_segments is not None and n_segments > 64:
-        import math
+    import math
 
-        depth = max(depth, math.ceil(math.log(n_segments, 64)))
+    if n_segments is None:
+        # known without running a job: one segment row per input partition
+        n_segments = segments.rdd.getNumPartitions()
+    if n_segments and n_segments > 16:
+        depth = max(depth, math.ceil(math.log(n_segments, 4)))
 
     def seq(acc, row):
         s = sketch_from_bytes(bytes(row.sketch))
@@ -231,6 +237,33 @@ def membership_udf(spark: SparkSession, sketch: Sketch):
         if s is None:
             s = sketch_from_bytes(blob_bc.value)
             _WORKER_SKETCH_CACHE[token] = s
+        res = s.contains_hashes(to_uint64(h1), to_uint64(h2))
+        return pd.Series(res)
+
+    return probe
+
+
+def membership_udf_from_path(path: str):
+    """A pandas UDF ``(h1, h2) -> bool`` probing a filter FILE via
+    ``np.memmap`` — the sharedstorage probe path.
+
+    vs the broadcast variant: no driver→JVM transfer of the blob, no
+    per-worker private copy — each worker memory-maps the file
+    (zero-copy deserialization, Sketch.from_bytes on the mapped buffer)
+    and the OS page cache shares one physical copy across every worker
+    on the host. This is also how a cluster probes a filter bigger than
+    driver memory: the artifact lives on shared storage (the
+    SketchCheckpoint ``sketches/`` dir), executors map what they touch.
+    ``path`` must be visible to every executor (shared FS / mount).
+    """
+
+    @F.pandas_udf("boolean")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        s = _WORKER_SKETCH_CACHE.get(path)
+        if s is None:
+            buf = np.memmap(path, dtype=np.uint8, mode="r")
+            s = sketch_from_bytes(buf)
+            _WORKER_SKETCH_CACHE[path] = s
         res = s.contains_hashes(to_uint64(h1), to_uint64(h2))
         return pd.Series(res)
 

@@ -41,11 +41,21 @@ def mark_members(
     spark: SparkSession,
     df: DataFrame,
     cols: list[str],
-    sketch: Sketch,
+    sketch: Sketch | str,
     out_col: str = IS_DUP_COL,
 ) -> DataFrame:
-    """Add boolean ``out_col``: key ∈ broadcast sketch (F1 membership)."""
-    probe = membership_udf(spark, sketch)
+    """Add boolean ``out_col``: key ∈ sketch (F1 membership).
+
+    ``sketch`` is either an in-memory Sketch (shipped by broadcast) or a
+    PATH to a saved filter file on executor-visible storage (memory-
+    mapped per worker — zero-copy, no broadcast; the probe path for
+    filters at or beyond driver memory)."""
+    if isinstance(sketch, str):
+        from bloom_spark.ops.build import membership_udf_from_path
+
+        probe = membership_udf_from_path(sketch)
+    else:
+        probe = membership_udf(spark, sketch)
     hashed = with_hash_columns(df, cols)
     return hashed.withColumn(out_col, probe(F.col(H1_COL), F.col(H2_COL))).drop(
         H1_COL, H2_COL
@@ -56,7 +66,7 @@ def filter_members(
     spark: SparkSession,
     df: DataFrame,
     cols: list[str],
-    sketch: Sketch,
+    sketch: Sketch | str,
     keep_members: bool = False,
 ) -> DataFrame:
     """Keep rows NOT in the sketch (default, ≙ F2) or only rows IN it
@@ -129,20 +139,26 @@ def bloom_dedup(
             "CLI's NUM; its default pipeline uses 200_000_000)"
         )
     hashed = with_hash_columns(df, keys)
-    hashed = (
-        hashed.repartition(num_partitions, F.col(H1_COL))
-        if num_partitions
-        else hashed.repartition(F.col(H1_COL))
+    p = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
+    hashed = hashed.repartition(p, F.col(H1_COL))
     if order_col is not None:
         hashed = hashed.sortWithinPartitions(order_col)
     out_cols = df.columns
     schema = hashed.drop(H1_COL, H2_COL).schema
+    # The filter is SHARDED: each partition owns a disjoint key range
+    # (hash co-partitioning), so its filter only needs capacity for its
+    # share (2x slack for hash imbalance). Total filter memory across
+    # the cluster ≈ one global filter; per-task memory = m/p bits. A
+    # single global-capacity filter per task would multiply memory by p
+    # — the difference between feasible and not at 10^12 keys.
+    n_part = max(4096, -(-int(expected_n) // p) * 2)
 
     def fresh_rows(batches):
         from bloom_spark.hashing import to_uint64
 
-        sketch = BloomSketch.from_fpr(expected_n, fpr)
+        sketch = BloomSketch.from_fpr(n_part, fpr, limit=expected_n)
         for pdf in batches:
             seen = sketch.check_and_set_hashes(
                 to_uint64(pdf[H1_COL]), to_uint64(pdf[H2_COL])
@@ -193,11 +209,12 @@ def dedup_against_filter(
     spark: SparkSession,
     df: DataFrame,
     keys: list[str],
-    sketch: Sketch,
+    sketch: Sketch | str,
     keep_members: bool = False,
 ) -> DataFrame:
     """EP-C: filter a new batch against a previously built filter —
-    shuffle-free broadcast probe (reference README.md:43-44)."""
+    shuffle-free probe (broadcast, or memory-mapped when given a saved
+    filter path; reference README.md:43-44)."""
     return filter_members(spark, df, keys, sketch, keep_members=keep_members)
 
 

@@ -36,6 +36,14 @@ def get_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("BLOOM_SPARK_MASTER", "local[*]")
+    # Shuffle/spill scratch: prefer RAM-backed /dev/shm when present —
+    # wide-row dedup shuffles (full text through the exchange) are
+    # otherwise bound by /tmp disk bandwidth, which a multi-node cluster
+    # would spread across per-executor local NVMe. Override with
+    # BLOOM_SPARK_LOCAL_DIR.
+    local_dir = os.environ.get("BLOOM_SPARK_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/bloom_spark_scratch"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -53,6 +61,8 @@ def get_session(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -68,13 +68,19 @@ class Sketch(ABC):
         return _HEADER.pack(MAGIC, kind, len(params)) + params + self._payload()
 
     @classmethod
-    def from_bytes(cls, blob: bytes) -> "Sketch":
+    def from_bytes(cls, blob) -> "Sketch":
+        """Accepts any buffer (bytes, memoryview, numpy uint8 array —
+        e.g. an ``np.memmap`` of a filter file): the payload is sliced
+        zero-copy, so a memory-mapped 100+ MB filter deserializes
+        without materializing a private copy per worker."""
+        if not isinstance(blob, (bytes, bytearray, memoryview)):
+            blob = memoryview(blob)
         magic, kind_raw, plen = _HEADER.unpack_from(blob, 0)
         if magic != MAGIC:
             raise ValueError(f"bad sketch magic: {magic:#x}")
         kind = kind_raw.rstrip(b"\0").decode()
         off = _HEADER.size
-        params = json.loads(blob[off : off + plen])
+        params = json.loads(bytes(blob[off : off + plen]))
         payload = blob[off + plen :]
         if cls is Sketch and kind not in _REGISTRY:
             # lazy-populate the registry: a fresh UDF worker process may

@@ -87,7 +87,15 @@ class BloomSketch(Sketch):
     # purely from allocator/bandwidth churn of the (n, k) temps.
     _CHUNK = 65536
 
+    def _ensure_writable(self) -> None:
+        # deserialized words are a zero-copy read-only view over the blob
+        # (copy-on-write): probe-only uses (broadcast membership) never pay
+        # the 100+ MB copy; the first mutation materializes one.
+        if self.words is not None and not self.words.flags.writeable:
+            self.words = self.words.copy()
+
     def _scatter(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        self._ensure_writable()
         for s in range(0, len(h1), self._CHUNK):
             word, mask = self._index(h1[s : s + self._CHUNK], h2[s : s + self._CHUNK])
             np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
@@ -248,6 +256,7 @@ class BloomSketch(Sketch):
                 f"incompatible bloom params: ({self.m},{self.k}) vs ({other.m},{other.k})"
             )
         if self.dense and other.dense:
+            self._ensure_writable()
             np.bitwise_or(self.words, other.words, out=self.words)
         elif self.dense:
             for p in other._pairs:
@@ -290,10 +299,12 @@ class BloomSketch(Sketch):
         # they are dense payloads
         if params.get("dense", True):
             s.dense = True
+            # zero-copy read-only view; _ensure_writable materializes a
+            # copy only if this instance is ever mutated (merge/update)
             words = np.frombuffer(payload, dtype=np.uint64)
             if len(words) != (s.m + 63) // 64:
                 raise ValueError("bloom payload size mismatch")
-            s.words = words.copy()
+            s.words = words
         else:
             pairs = np.frombuffer(payload, dtype=np.uint64).reshape(-1, 2)
             if len(pairs):

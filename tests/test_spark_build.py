@@ -177,6 +177,28 @@ class TestDedupOps:
         assert out.count() == valid.select("text").distinct().count()
         assert len(sc.statusTracker().getJobIdsForGroup("bd-run")) >= 1
 
+    def test_mmap_path_probe_matches_broadcast(self, spark, valid, tmp_path):
+        """The memory-mapped filter-file probe must answer identically to
+        the broadcast probe (zero-copy deserialization over np.memmap)."""
+        from bloom_spark.ops.dedup import dedup_against_filter
+
+        sketch, _ = build_sketch(
+            valid, ["text"], lambda: BloomSketch.from_fpr(N_PAGES, 1e-8)
+        )
+        path = str(tmp_path / "filter.sk")
+        with open(path, "wb") as f:
+            f.write(sketch.to_bytes())
+        via_bc = dedup_against_filter(spark, valid, ["text"], sketch).count()
+        via_mmap = dedup_against_filter(spark, valid, ["text"], path).count()
+        assert via_bc == via_mmap == 0  # everything is a member
+        probes = valid.withColumn(
+            "text", F.concat(F.lit("U::"), F.col("text"))
+        )
+        assert (
+            dedup_against_filter(spark, probes, ["text"], path).count()
+            == dedup_against_filter(spark, probes, ["text"], sketch).count()
+        )
+
     def test_line_dedup_seq_twice(self, spark):
         """≙ the reference's e2e test (tests/integration_tests.rs:4-38):
         seq 1..10 twice through the pipeline → exactly 10 lines, each
