@@ -62,6 +62,66 @@ def q_bloom_inverse_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_size_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-bls NUM,SIZE parity incl. H6 size units: a filter constructed
+    from a unit string ("256Kb" = 256,000 bytes, parse-size semantics)
+    over the src0 slice, anti-probed — byte budget is generous for 500
+    keys, so the answer is exact at sf0.01."""
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import dedup_against_filter
+    from bloom_spark.sketch import BloomSketch
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(docs.source == "src0")
+    sketch, _ = build_sketch(
+        seen, ["text"],
+        lambda: BloomSketch.from_size(200_000, "256Kb"),
+    )
+    out = dedup_against_filter(spark, docs, ["text"], sketch)
+    return out.select("doc_id", "text")
+
+
+def q_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming dedup (applyInPandasWithState): Bloom
+    segments live in Spark's keyed state store, sharded by hash group —
+    distinct texts across micro-batches, exactly once."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from bloom_spark.sketch import BloomSketch
+    from bloom_spark.streaming.sketch_stream import stateful_bloom_dedup
+
+    docs = _docs(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as d:
+        for i in range(3):
+            docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{d}/src/chunk{i}")
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{d}/src/chunk*")
+        )
+        out = stateful_bloom_dedup(
+            stream, ["text"], lambda: BloomSketch.from_fpr(2000, 1e-9),
+            num_groups=8,
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{d}/sink")
+            .option("checkpointLocation", f"{d}/qck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = spark.read.parquet(f"{d}/sink").count()
+    return spark.createDataFrame([(int(n),)], "distinct_texts long")
+
+
 def q_cascade_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 multi-filter cascade (reference main.rs:327-376): probe TWO
     named filters at once — membership is the OR over both, so the
@@ -687,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "bloom_inverse_filter": q_bloom_inverse_filter,
         "cascade_anti_filter": q_cascade_anti_filter,
+        "bloom_size_units": q_bloom_size_units,
+        "stateful_dedup_count": q_stateful_dedup_count,
         "bloom_distinct_count": q_bloom_distinct_count,
         "line_dedup": q_line_dedup,
         "dedup_first_wins": q_dedup_first_wins,
@@ -798,6 +860,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE text NOT IN (
                 SELECT text FROM documents WHERE source IN ('src0', 'src1')
             )
+        """,
+        "bloom_size_units": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+        """,
+        "stateful_dedup_count": """
+            SELECT count(DISTINCT text) AS distinct_texts FROM documents
         """,
         "bloom_distinct_count": "SELECT count(DISTINCT text) AS distinct_texts FROM documents",
         "line_dedup": """

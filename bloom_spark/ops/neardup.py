@@ -176,8 +176,12 @@ def ngram_jaccard_pairs(
         F.explode(shingle_fn(F.col(text_col), shingle_n)).alias("__sh"),
     )
     if candidates is not None:
-        # bound every downstream stage to ids that can appear in output
-        cand = candidates.select("id_a", "id_b")
+        # bound every downstream stage to ids that can appear in output.
+        # The pair list feeds two consumers (id restriction + pair
+        # semi-join): persist it so the candidate pipeline (typically a
+        # full LSH pass) materializes once. Candidates are small by
+        # construction (banded + max_bucket-capped).
+        cand = candidates.select("id_a", "id_b").persist()
         cand_ids = (
             cand.select(F.col("id_a").alias("__id"))
             .unionAll(cand.select(F.col("id_b").alias("__id")))
@@ -225,10 +229,6 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     )
-    # the candidate list is consumed twice inside the verify stage (id
-    # restriction + pair semi-join); persist it so the LSH pipeline runs
-    # once — candidates are tiny relative to the corpus by construction
-    cands = cands.persist()
     dups = ngram_jaccard_pairs(
         df, id_col, text_col, shingle_n=shingle_n,
         min_jaccard=min_jaccard, candidates=cands,
