@@ -617,6 +617,20 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- lifecycle / infra queries
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning (quality gate → lang gate →
+    exact dedup → MinHash near-dup removal), the composed pipeline an
+    LLM corpus job runs. The oracle replays every stage in SQL: the
+    quality/lang replicas proven exact by their own queries, DISTINCT
+    first-wins, and the exhaustive-Jaccard near-dup drop restricted to
+    the gated survivor set."""
+    from bloom_spark.ops.pipeline import clean_corpus
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 500")
+    kept = clean_corpus(docs, min_quality=0.8, langs=("en",), min_jaccard=0.8)
+    return kept.select("doc_id")
+
+
 def q_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interrupted build + resume: totals must equal a single-shot build."""
     import tempfile
@@ -770,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "embedding_neardup": q_embedding_neardup,
+        "clean_corpus": q_clean_corpus,
         "checkpoint_resume": q_checkpoint_resume,
         "streaming_dedup_count": q_streaming_dedup_count,
         "windowed_event_counts": q_windowed_event_counts,
@@ -778,9 +793,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _lang_oracle_sql() -> str:
-    """Replicates the lang_id fold (earliest-max over profiles, min_score
-    gate) in ANSI SQL, generated from the same LANG_PROFILES constant."""
+def _lang_pred_select(extra_cols: str = "") -> str:
+    """Per-document lang prediction as a SQL SELECT over ``documents``
+    (earliest-max over profiles, min_score gate) — generated from the
+    same LANG_PROFILES constant the Catalyst path uses. ``extra_cols``
+    carries additional projected columns (e.g. ``doc_id, text,``)."""
     from bloom_spark.functions.text import LANG_PROFILES, WORD_RE
 
     langs = list(LANG_PROFILES)
@@ -801,8 +818,15 @@ def _lang_oracle_sql() -> str:
             case += f" ELSE '{lang}'\n"
     case += "END"
     return f"""
-        WITH scored AS (SELECT {', '.join(score_cols)} FROM documents)
-        SELECT {case} AS lang_pred, count(*) AS cnt FROM scored GROUP BY 1
+        SELECT {extra_cols} {case} AS lang_pred
+        FROM (SELECT *, {', '.join(score_cols)} FROM documents)
+    """
+
+
+def _lang_oracle_sql() -> str:
+    return f"""
+        WITH preds AS ({_lang_pred_select()})
+        SELECT lang_pred, count(*) AS cnt FROM preds GROUP BY 1
     """
 
 
@@ -835,6 +859,44 @@ def _quality_oracle_sql() -> str:
                 + CAST(digit_ratio <= 0.3 AS DOUBLE)
                 + CAST(stopword_ratio > 0.0 AS DOUBLE)) / 5.0 AS q
         FROM f
+    """
+
+
+def _clean_corpus_oracle_sql() -> str:
+    """SQL replay of clean_corpus at sf0.01 (doc_id < 500): quality and
+    lang replicas (identical expressions to their standalone oracles),
+    first-wins DISTINCT (min doc_id per text), exhaustive 5-gram
+    Jaccard near-dup drop restricted to the kept set (keep lowest id).
+    """
+    quality = _quality_oracle_sql()
+    lang = _lang_pred_select("doc_id,")
+    return f"""
+        WITH q AS (SELECT * FROM ({quality})),
+        l AS (SELECT doc_id, lang_pred FROM ({lang})),
+        gated AS (
+          SELECT d.doc_id, d.text
+          FROM documents d
+          JOIN q ON q.doc_id = d.doc_id
+          JOIN l ON l.doc_id = d.doc_id
+          WHERE d.doc_id < 500 AND q.q >= 0.8 AND l.lang_pred = 'en'
+        ),
+        dedup AS (SELECT min(doc_id) AS doc_id, text FROM gated GROUP BY text),
+        sh AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(length(text)-4,0)+1),
+                   i -> substr(text, i, 5)))) AS s
+          FROM dedup
+        ), sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id ia, b.doc_id ib, count(*) i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        drops AS (
+          SELECT DISTINCT ib FROM inter
+          JOIN sz sa ON sa.doc_id = inter.ia
+          JOIN sz sb ON sb.doc_id = inter.ib
+          WHERE i::DOUBLE/(sa.c+sb.c-i) >= 0.8)
+        SELECT doc_id FROM dedup WHERE doc_id NOT IN (SELECT ib FROM drops)
     """
 
 
@@ -987,6 +1049,7 @@ def oracle_sql() -> dict[str, str]:
             FROM allv a JOIN allv b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.999
         """,
+        "clean_corpus": _clean_corpus_oracle_sql(),
         "checkpoint_resume": """
             SELECT count(*)::BIGINT AS total_rows, 3::BIGINT AS n_units
             FROM documents

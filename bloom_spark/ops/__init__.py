@@ -33,6 +33,7 @@ from bloom_spark.ops.neardup import (  # noqa: F401
     simhash_table,
     word_shingles,
 )
+from bloom_spark.ops.pipeline import clean_corpus  # noqa: F401
 from bloom_spark.ops.similarity import (  # noqa: F401
     brute_force_topk,
     cosine,
