@@ -81,6 +81,26 @@ def q_bloom_size_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_bloom_intersect_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter set algebra: AND-intersect two independently built filters
+    (src0 slice ∩ doc_id<250 slice) and emit member rows — the inverse
+    mode ``-i`` generalized to an intersection of filters (possible
+    because our hash family is deterministic; the reference's random
+    sip keys forbid it). Exact at fpr 1e-9 on this corpus."""
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.dedup import filter_members
+    from bloom_spark.sketch import BloomSketch
+
+    docs = _docs(spark, sf_dir)
+    factory = lambda: BloomSketch.from_fpr(200_000, 1e-9)  # noqa: E731
+    a, _ = build_sketch(docs.where(docs.source == "src0"), ["text"], factory)
+    b, _ = build_sketch(docs.where(docs.doc_id < 250), ["text"], factory)
+    both = a.intersect(b)
+    return filter_members(spark, docs, ["text"], both, keep_members=True).select(
+        "doc_id", "text"
+    )
+
+
 def q_stateful_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming dedup (applyInPandasWithState): Bloom
     segments live in Spark's keyed state store, sharded by hash group —
@@ -762,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_inverse_filter": q_bloom_inverse_filter,
         "cascade_anti_filter": q_cascade_anti_filter,
         "bloom_size_units": q_bloom_size_units,
+        "bloom_intersect_filter": q_bloom_intersect_filter,
         "stateful_dedup_count": q_stateful_dedup_count,
         "bloom_distinct_count": q_bloom_distinct_count,
         "line_dedup": q_line_dedup,
@@ -926,6 +947,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_size_units": """
             SELECT doc_id, text FROM documents
             WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+        """,
+        "bloom_intersect_filter": """
+            SELECT doc_id, text FROM documents
+            WHERE text IN (SELECT text FROM documents WHERE source = 'src0')
+              AND text IN (SELECT text FROM documents WHERE doc_id < 250)
         """,
         "stateful_dedup_count": """
             SELECT count(DISTINCT text) AS distinct_texts FROM documents

@@ -42,7 +42,7 @@ def parse_size(value: int | float | str) -> int:
     m = _SIZE_RE.match(str(value))
     if not m:
         raise ValueError(f"could not parse size {value!r}")
-    num = float(m.group("num"))
+    num_s = m.group("num")
     unit = m.group("unit").lower()
     if m.group("bin"):
         if not unit:
@@ -50,4 +50,7 @@ def parse_size(value: int | float | str) -> int:
         mult = _BINARY[unit]
     else:
         mult = _DECIMAL[unit]
-    return int(num * mult)
+    if "." in num_s:
+        return int(float(num_s) * mult)
+    # exact integer arithmetic — float would lose precision past 2^53
+    return int(num_s) * mult

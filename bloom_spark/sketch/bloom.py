@@ -277,6 +277,29 @@ class BloomSketch(Sketch):
         self.n_inserted += other.n_inserted
         return self
 
+    def intersect(self, other: "BloomSketch") -> "BloomSketch":
+        """Approximate set intersection: bitwise AND of the two filters
+        (same (m,k) family required — our deterministic seeded hashes
+        make this sound; the reference's random sip keys could not
+        support it, SURVEY.md §2.4 H2). Zero false negatives for true
+        A∩B members (their k bits are set in both); the false-positive
+        rate is bounded by min(FPR_A, FPR_B) plus the classic AND-filter
+        excess (elements of A XOR B whose bits happen to survive).
+        In-place on self; returns self. The generalization of the
+        reference's ``-i`` inverse mode from one filter to an algebra."""
+        if not isinstance(other, BloomSketch):
+            raise TypeError("can only intersect BloomSketch with BloomSketch")
+        if (other.m, other.k) != (self.m, self.k):
+            raise ValueError(
+                f"incompatible bloom params: ({self.m},{self.k}) vs ({other.m},{other.k})"
+            )
+        self._densify()
+        other._densify()
+        self._ensure_writable()
+        np.bitwise_and(self.words, other.words, out=self.words)
+        self.n_inserted = min(self.n_inserted, other.n_inserted)
+        return self
+
     def params(self) -> dict:
         return {
             "m": self.m,

@@ -120,3 +120,55 @@ def test_hll_merge_order_invariant_and_bounded(n, n_shards, seed):
     assert acc.to_bytes() == single.to_bytes()
     # published bound: ~1.04/sqrt(2^p), generous 5x slack for small n
     assert abs(acc.estimate() - n) / n < 5 * 1.04 / np.sqrt(2**12)
+
+
+# --------------------------------------------------------------- parse_size
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(0, 10**9),
+    unit=st.sampled_from(["", "K", "M", "G", "T", "KiB", "MiB", "GiB"]),
+    case=st.sampled_from([str.lower, str.upper, lambda s: s]),
+    suffix=st.sampled_from(["", "b", "B"]),
+    pad=st.sampled_from(["", " ", "  "]),
+)
+def test_parse_size_units_property(n, unit, case, suffix, pad):
+    from bloom_spark.config import parse_size
+
+    mult = {"": 1, "K": 10**3, "M": 10**6, "G": 10**9, "T": 10**12,
+            "KiB": 2**10, "MiB": 2**20, "GiB": 2**30}[unit]
+    if unit.endswith("iB") and suffix:
+        return  # "KiBb" is not a unit
+    u = case(unit)
+    if unit.endswith("iB"):
+        s = f"{n}{pad}{u}"
+    else:
+        s = f"{n}{pad}{u}{suffix}"
+    assert parse_size(s) == n * mult
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    keys=st.lists(st.text(min_size=1, max_size=20), min_size=1, max_size=200),
+    n_shards=st.integers(2, 5),
+    seed=st.integers(0, 2**31),
+)
+def test_xxh_table_sharded_merge_never_false_negative(keys, n_shards, seed):
+    """Any sharding + serde round-trips + merges of fingerprint-table
+    segments keep every attempted key answering True (the round-2
+    true-base replay contract)."""
+    from bloom_spark.sketch import XXHFingerprintTable
+
+    rng = np.random.default_rng(seed)
+    assign = rng.integers(0, n_shards, len(keys))
+    segs = []
+    for g in range(n_shards):
+        t = XXHFingerprintTable(1 << 12)  # small → realistic contention
+        shard = [k for k, a in zip(keys, assign) if a == g]
+        if shard:
+            t.update(pd.Series(shard))
+        segs.append(sketch_from_bytes(t.to_bytes()))
+    merged = segs[0]
+    for t in segs[1:]:
+        merged = merged.merge(t)
+    back = sketch_from_bytes(merged.to_bytes())
+    assert back.contains(pd.Series(keys)).all()

@@ -292,6 +292,27 @@ class TestTDigest:
         assert back.n == t.n
 
 
+class TestBloomIntersect:
+    def test_intersection_members_always_found(self):
+        a = BloomSketch.from_fpr(10_000, 1e-6)
+        b = BloomSketch.from_fpr(10_000, 1e-6)
+        both = _strings("both", 1_000)
+        a.update(_strings("a", 4_000))
+        a.update(both)
+        b.update(_strings("b", 4_000))
+        b.update(both)
+        inter = BloomSketch.from_bytes(a.to_bytes()).intersect(b)
+        assert inter.contains(both).all()  # zero FN on true A∩B
+        # A-only / B-only members are (almost surely) rejected
+        assert inter.contains(_strings("a", 4_000)).sum() <= 4
+        assert inter.contains(_strings("b", 4_000)).sum() <= 4
+        assert not inter.contains(_strings("zz", 2_000)).any()
+
+    def test_incompatible_params_refused(self):
+        with pytest.raises(ValueError, match="incompatible"):
+            BloomSketch(1 << 12, 5).intersect(BloomSketch(1 << 13, 5))
+
+
 # ---------------------------------------------------------------- XXH table
 
 
