@@ -279,6 +279,51 @@ def q_cms_weighted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "event_type string, weighted_cnt long")
 
 
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest user_ids: CMS frequencies + per-partition local
+    top-m candidate generation (no all-distinct-keys shuffle) — the
+    count-min sketch's canonical application. Width 2^16 ≫ distinct
+    users, so estimates are exact at sf0.01; deterministic
+    (cnt desc, key asc) tie-break on both sides."""
+    from bloom_spark.ops.aggregates import cms_heavy_hitters
+
+    events = _events(spark, sf_dir)
+    return cms_heavy_hitters(spark, events, "user_id", k=10)
+
+
+def q_grouped_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles as mergeable per-group KLL sketches
+    (applyInPandas UDAF shape): median of events.value per event_type,
+    rank-error bound checked as data per group."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.aggregates import grouped_quantiles
+    from bloom_spark.sketch import KLLSketch
+
+    events = _events(spark, sf_dir)
+    out = grouped_quantiles(
+        spark, events, "event_type", "value", [0.5], lambda: KLLSketch(200)
+    ).collect()
+    eps = KLLSketch(200).rank_error()
+    sizes = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    rows = []
+    for r in out:
+        g, est = r["group"], r["value"]
+        n = sizes[g]
+        rank = (
+            events.where(
+                (F.col("event_type") == g) & (F.col("value") <= float(est))
+            ).count()
+            / n
+        )
+        rows.append((g, 0.5, bool(abs(rank - 0.5) <= 3 * eps)))
+    return spark.createDataFrame(rows, "grp string, q double, within_bound boolean")
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KLL quantiles of documents.n_chars with the rank-error bound
     checked as data: true_rank(estimate) within 3ε of q."""
@@ -791,6 +836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users": q_hll_distinct_users,
         "cms_event_type_counts": q_cms_event_type_counts,
         "cms_weighted_counts": q_cms_weighted_counts,
+        "cms_heavy_hitters": q_cms_heavy_hitters,
+        "grouped_kll_quantiles": q_grouped_kll_quantiles,
         "kll_quantiles": q_kll_quantiles,
         "tdigest_quantiles": q_tdigest_quantiles,
         "token_counts": q_token_counts,
@@ -1008,6 +1055,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    sum((event_id % 10) + 1)::BIGINT AS weighted_cnt
             FROM events GROUP BY event_type
+        """,
+        "cms_heavy_hitters": """
+            SELECT user_id, count(*) AS cnt
+            FROM events GROUP BY 1
+            ORDER BY cnt DESC, user_id ASC LIMIT 10
+        """,
+        "grouped_kll_quantiles": """
+            SELECT DISTINCT event_type AS grp, 0.5 AS q, TRUE AS within_bound
+            FROM events
         """,
         "kll_quantiles": """
             SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound

@@ -7,6 +7,11 @@ from bloom_spark.ops.build import (  # noqa: F401
     salted_repartition,
     with_hash_columns,
 )
+from bloom_spark.ops.aggregates import (  # noqa: F401
+    cms_heavy_hitters,
+    grouped_quantiles,
+    grouped_value_sketch,
+)
 from bloom_spark.ops.cascade import (  # noqa: F401
     SketchCascade,
     build_from_spec,
