@@ -217,13 +217,26 @@ def lsh_topk_indexed(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k served from a precomputed ``lsh_index``: query
     buckets are computed driver-side (bounded query set), shipped as a
     broadcast (table, bucket, query_id, qvec) table, and joined against
     the index — the corpus is never re-hashed. Same output shape as
-    ``brute_force_topk``."""
+    ``brute_force_topk``.
+
+    ``max_bucket`` caps the per-(table, bucket) candidate volume — a
+    degenerate mega-bucket (e.g. near-zero vectors all hashing to one
+    sign pattern) would otherwise make one query score an unbounded
+    candidate set. Skipped buckets cost recall only for queries whose
+    EVERY table landed in a mega-bucket."""
     spark = queries.sparkSession
+    if max_bucket is not None:
+        sizes = index.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
+        index = index.join(
+            sizes.where(F.col("__n") <= max_bucket).select("table", "bucket"),
+            ["table", "bucket"],
+        )
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     buckets = query_buckets_local(
         qpdf, dim, vec_col=vec_col,

@@ -105,6 +105,24 @@ def test_lsh_indexed_matches_inline(spark, emb):
     assert a == b
 
 
+def test_lsh_indexed_max_bucket_caps_candidates(spark, emb):
+    """With a tiny cap most buckets drop; results stay a valid (possibly
+    lower-recall) top-k and never error — the skew guard for degenerate
+    mega-buckets."""
+    from bloom_spark.ops.similarity import lsh_index, lsh_topk_indexed
+
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    index = lsh_index(emb, dim=DIM, n_planes=2, n_tables=2)  # big buckets
+    capped = lsh_topk_indexed(
+        index, queries, k=5, dim=DIM, n_planes=2, n_tables=2, max_bucket=50
+    ).collect()
+    uncapped = lsh_topk_indexed(
+        index, queries, k=5, dim=DIM, n_planes=2, n_tables=2
+    ).collect()
+    assert len(capped) <= len(uncapped)
+    assert all(r["rank"] <= 5 for r in capped)
+
+
 def test_cosine_neardup_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
