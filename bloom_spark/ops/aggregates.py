@@ -134,15 +134,28 @@ def grouped_quantiles(
     factory: Callable[[], Sketch],
 ) -> DataFrame:
     """Per-group quantile estimates: (group, q, value) for each q in
-    ``qs``, from one value sketch per group."""
-    import numpy as np
+    ``qs``, from one value sketch per group.
 
-    segs = grouped_value_sketch(df, group_col, value_col, factory).collect()
-    rows = []
-    for r in segs:
-        s = sketch_from_bytes(bytes(r["sketch"]))
-        vals = s.quantile(np.asarray(qs, dtype=np.float64))
-        rows.extend(
-            (r["group"], float(q), float(v)) for q, v in zip(qs, vals)
-        )
-    return spark.createDataFrame(rows, "group string, q double, value double")
+    Fully distributed end to end: the per-group sketch rows stay on
+    executors and a second ``mapInPandas`` decodes each blob and emits
+    its quantile rows — nothing is collected to the driver, so millions
+    of groups are fine (the round-1 pattern of collecting blobs to the
+    driver would bottleneck there)."""
+    qlist = [float(q) for q in qs]
+    segs = grouped_value_sketch(df, group_col, value_col, factory)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        qarr = np.asarray(qlist, dtype=np.float64)
+        for pdf in batches:
+            out = {"group": [], "q": [], "value": []}
+            for g, blob in zip(pdf["group"], pdf["sketch"]):
+                vals = sketch_from_bytes(bytes(blob)).quantile(qarr)
+                out["group"].extend([g] * len(qlist))
+                out["q"].extend(qlist)
+                out["value"].extend(float(v) for v in vals)
+            if out["group"]:
+                yield pd.DataFrame(out)
+
+    return segs.mapInPandas(expand, "group string, q double, value double")
