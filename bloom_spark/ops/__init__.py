@@ -34,6 +34,7 @@ from bloom_spark.ops.neardup import (  # noqa: F401
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_dedup,
     simhash_pairs,
     simhash_table,
     word_shingles,

@@ -237,6 +237,27 @@ def minhash_dedup(
     return df.join(to_drop, id_col, "left_anti")
 
 
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-dup removal by SimHash distance: drop every doc within
+    Hamming distance ``max_hamming`` of a lower-id doc (first-wins, the
+    SimHash sibling of :func:`minhash_dedup`). One fingerprint pass +
+    one banded self-join; no shingle explosion — the cheaper/coarser
+    near-dup family for boilerplate-heavy web text."""
+    pairs = simhash_pairs(
+        df, id_col, text_col,
+        max_hamming=max_hamming, bands=bands, max_bucket=max_bucket,
+    )
+    to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, id_col, "left_anti")
+
+
 # --------------------------------------------------------------------- simhash
 def simhash_table(
     df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash"

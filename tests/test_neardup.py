@@ -127,3 +127,20 @@ def test_neardup_pairs_have_high_jaccard(spark, corpus):
     )
     for r in verified.collect():
         assert r["jaccard"] >= 0.6
+
+
+def test_simhash_dedup_drops_perturbed_copies(spark):
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.neardup import simhash_dedup
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text").where("doc_id < 200")
+    )
+    # identical copies: Hamming distance 0 → always within any banding
+    copies = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    kept = simhash_dedup(docs.unionByName(copies), "doc_id", "text", max_hamming=3)
+    ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
+    assert all(i < 1_000_000 for i in ids)      # originals win
+    assert len(ids) <= docs.count()             # every copy dropped

@@ -324,3 +324,31 @@ class TestSkewHandling:
         salted = max_partition(salted_repartition(df, "host", 16, salts=8))
         assert plain >= hot  # the hot key pins one partition
         assert salted <= hot * 0.5, f"salting did not spread: {salted} vs {hot}"
+
+
+class TestDedupContracts:
+    def test_bloom_dedup_drop_rate_bounded_by_fpr(self, spark):
+        """The documented cost of sketch dedup: unique keys are falsely
+        dropped at rate ≤ fpr. At fpr=1e-2 over 20k distinct keys the
+        binomial 5-sigma envelope is ~±70 drops."""
+        import pyspark.sql.functions as F
+
+        from bloom_spark.ops.dedup import bloom_dedup
+
+        n = 20_000
+        df = spark.range(n).select(F.concat(F.lit("u"), F.col("id")).alias("k"))
+        kept = bloom_dedup(spark, df, ["k"], fpr=1e-2, expected_n=n).count()
+        dropped = n - kept
+        assert 0 <= dropped <= n * 1e-2 + 5 * (n * 1e-2) ** 0.5
+
+    def test_bloom_dedup_multi_column_keys(self, spark):
+        import pyspark.sql.functions as F
+
+        from bloom_spark.ops.dedup import bloom_dedup
+
+        df = spark.range(5_000).select(
+            (F.col("id") % 50).alias("a"), (F.col("id") % 40).alias("b")
+        )
+        kept = bloom_dedup(spark, df, ["a", "b"], fpr=1e-9, expected_n=10_000)
+        exact = df.dropDuplicates(["a", "b"]).count()
+        assert kept.count() == exact == 200  # lcm(50,40)=200 distinct pairs
