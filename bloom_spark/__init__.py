@@ -17,6 +17,7 @@ Design rules (BASELINE.json north_rule / input_hint):
 - All sketches are associatively/commutatively mergeable binary blobs.
 """
 
+from bloom_spark.config import DEFAULT_LIMIT, DEFAULT_SIZE, parse_size
 from bloom_spark.sketch import (
     BloomSketch,
     CountMinSketch,
@@ -28,16 +29,19 @@ from bloom_spark.sketch import (
     sketch_from_bytes,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "BloomSketch",
     "CountMinSketch",
+    "DEFAULT_LIMIT",
+    "DEFAULT_SIZE",
     "HyperLogLog",
     "KLLSketch",
     "Sketch",
     "TDigest",
     "XXHFingerprintTable",
+    "parse_size",
     "sketch_from_bytes",
     "__version__",
 ]
