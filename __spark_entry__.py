@@ -790,27 +790,47 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship synthetic web-pages pipeline (input_hint shape): salted
-    build → merged filter metrics + dedup counts. No SQL oracle
-    (xxhash64-based generator) — rows-only check."""
+    """Flagship synthetic web-pages pipeline (input_hint shape): text is
+    EXTRACTED from the html:binary column (deterministic Catalyst
+    extraction, byte-identical per url — the north-star invariant,
+    asserted in-query against the generator's text) → UTF-8 validity
+    gate → salted build → merged filter metrics + dedup counts. No SQL
+    oracle (xxhash64-based generator) — rows-only check."""
     import pyspark.sql.functions as F
 
+    from bloom_spark.functions.text import extract_text
     from bloom_spark.io.pages import synthesize_pages
     from bloom_spark.ops.build import build_sketch
     from bloom_spark.ops.dedup import exact_dedup
     from bloom_spark.sketch import BloomSketch
 
-    pages = synthesize_pages(spark, 20_000, num_partitions=8)
-    valid = pages.where("text IS NOT NULL")
+    pages = synthesize_pages(spark, 20_000, num_partitions=8).withColumn(
+        "etext", extract_text(F.col("html"))
+    )
+    # byte-identical-extraction invariant: must reproduce the generator
+    extraction_mismatches = pages.where(
+        (F.col("etext").isNull() != F.col("text").isNull())
+        | (F.col("etext") != F.col("text"))
+    ).count()
+    valid = pages.where("etext IS NOT NULL")
     sketch, n = build_sketch(
-        valid, ["text"], lambda: BloomSketch.from_fpr(20_000, 1e-9),
+        valid, ["etext"], lambda: BloomSketch.from_fpr(20_000, 1e-9),
         num_partitions=8, salt_key="url",
     )
-    distinct_texts = exact_dedup(valid, ["text"]).count()
-    invalid = pages.where("text IS NULL").count()
+    distinct_texts = exact_dedup(valid, ["etext"]).count()
+    invalid = pages.where("etext IS NULL").count()
     return spark.createDataFrame(
-        [(int(n), int(distinct_texts), int(invalid), bool(sketch.dense))],
-        "valid_rows long, distinct_texts long, invalid_rows long, filter_dense boolean",
+        [
+            (
+                int(n),
+                int(distinct_texts),
+                int(invalid),
+                bool(sketch.dense),
+                int(extraction_mismatches),
+            )
+        ],
+        "valid_rows long, distinct_texts long, invalid_rows long, "
+        "filter_dense boolean, extraction_mismatches long",
     )
 
 

@@ -130,3 +130,33 @@ def doc_fingerprint(text: Column) -> Column:
     keeps the oracle replayable in any SQL engine."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def is_valid_utf8(raw: Column) -> Column:
+    """S2 UTF-8 validity gate on a BINARY column — the Catalyst analog
+    of the reference's ``String::from_utf8`` match (reference
+    src/bloom/process.rs:63-78). A binary→string cast keeps the raw
+    bytes unvalidated; ``try_validate_utf8`` returns NULL exactly when
+    they are not well-formed UTF-8. (Spark 4's ``decode`` is strict
+    ANSI and THROWS on malformed input, so it cannot express a gate.)"""
+    return F.try_validate_utf8(raw.cast("string")).isNotNull()
+
+
+def extract_text(html: Column) -> Column:
+    """Deterministic text extraction from an ``html:binary`` column —
+    the north-star per-row invariant is that extraction is a PURE
+    function of the payload (byte-identical text per url across runs
+    and executors), so it is implemented entirely in Catalyst:
+
+    1. UTF-8 validity gate (``is_valid_utf8``): invalid pages yield
+       NULL (≙ the reference's pass-through domain, never deduped).
+    2. drop <script>/<style> blocks, then strip all remaining tags.
+
+    No whitespace collapsing: the extracted text preserves the
+    document's own line structure (line-granularity dedup depends on
+    it)."""
+    decoded = F.try_validate_utf8(html.cast("string"))
+    no_blocks = F.regexp_replace(
+        decoded, r"(?is)<(script|style)\b[^>]*>.*?</\1>", ""
+    )
+    return F.regexp_replace(no_blocks, r"<[^>]*>", "")

@@ -102,3 +102,52 @@ def test_fingerprint_matches_duckdb(spark):
     )
     for k, v in mine.items():
         assert oracle[k] == v
+
+
+class TestExtraction:
+    def test_extract_text_byte_identical_invariant(self, spark):
+        """North-star invariant: extraction is a pure function of the
+        payload — on the synthetic pages table it must reproduce the
+        generator's text column byte-for-byte, and NULL exactly on the
+        invalid-UTF-8 pages."""
+        import pyspark.sql.functions as F
+
+        from bloom_spark.functions.text import extract_text
+        from bloom_spark.io.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 20_000, num_partitions=8)
+        ext = pages.withColumn("etext", extract_text(F.col("html")))
+        mismatches = ext.where(
+            (F.col("etext").isNull() != F.col("text").isNull())
+            | (F.col("etext") != F.col("text"))
+        ).count()
+        assert mismatches == 0
+        assert ext.where("etext IS NULL").count() > 0  # invalid rows exist
+
+    def test_extract_strips_scripts_and_tags(self, spark):
+        import pyspark.sql.functions as F
+
+        from bloom_spark.functions.text import extract_text
+
+        df = spark.createDataFrame(
+            [(bytearray(b"<html><script>var x=1;</script><b>Hello</b>\nworld</html>"),)],
+            "html binary",
+        )
+        got = df.select(extract_text(F.col("html")).alias("t")).first()["t"]
+        assert got == "Hello\nworld"
+
+    def test_invalid_utf8_yields_null(self, spark):
+        import pyspark.sql.functions as F
+
+        from bloom_spark.functions.text import extract_text, is_valid_utf8
+
+        df = spark.createDataFrame(
+            [(bytearray(b"<p>ok</p>"),), (bytearray(b"<p>\xff\xfe</p>"),)],
+            "html binary",
+        )
+        out = df.select(
+            extract_text(F.col("html")).alias("t"),
+            is_valid_utf8(F.col("html")).alias("v"),
+        ).collect()
+        assert out[0]["t"] == "ok" and out[0]["v"]
+        assert out[1]["t"] is None and not out[1]["v"]
