@@ -345,6 +345,25 @@ def train_centroids(
     return cents
 
 
+def ivf_cell_udf(centroids: np.ndarray):
+    """Vectorized Arrow UDF: vec → nearest-centroid cell id (cosine,
+    centroids unit-norm). One (rows, dim) @ (dim, n_cells) matmul per
+    Arrow batch — the same literal-expression-blowup avoidance as
+    ``bucket_array_udf`` (each Catalyst ``ivf_cell`` projection inlines
+    n_cells × dim coefficient leaves)."""
+    cents = np.ascontiguousarray(centroids.T, dtype=np.float64)  # (D, C)
+
+    @F.pandas_udf("int")
+    def fn(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="int32")
+        # norms don't change the argmax, so skip the divide
+        return pd.Series((x @ cents).argmax(axis=1).astype("int32"))
+
+    return fn
+
+
 def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
     """Nearest-centroid cell id (cosine, centroids unit-norm) as a pure
     Catalyst expression: n_cells dot products + argmax via array_position."""
@@ -355,22 +374,6 @@ def ivf_cell(vec: Column, centroids: np.ndarray) -> Column:
         ]
     )
     return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-
-
-def _probe_cells(vec: Column, centroids: np.ndarray, nprobe: int) -> Column:
-    """Array of the nprobe nearest cell ids for a query vector."""
-    pairs = F.array(
-        *[
-            F.struct(
-                (dot(vec, F.array(*[F.lit(float(x)) for x in c])) / l2_norm(vec))
-                .alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ]
-    )
-    best = F.slice(F.reverse(F.array_sort(pairs)), 1, nprobe)
-    return F.transform(best, lambda p: p["cell"])
 
 
 def ivf_topk(
@@ -390,14 +393,28 @@ def ivf_topk(
     partition/bucket column, so a query touches nprobe/n_cells of the
     data; here the assignment is inlined. Same output shape as
     brute_force_topk; recall grows with nprobe (nprobe=n_cells ≡ exact).
+
+    Corpus cells come from one Arrow-batch matmul (``ivf_cell_udf``);
+    the bounded query set computes its nprobe nearest cells driver-side
+    with the identical matrix layout, so a vector assigned to cell c as
+    corpus is probed in cell c as query.
     """
     c = corpus.select(
-        F.col(id_col), F.col(vec_col), ivf_cell(F.col(vec_col), centroids).alias("__cell")
+        F.col(id_col), F.col(vec_col),
+        ivf_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
     )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(_probe_cells(F.col(vec_col), centroids, nprobe)).alias("__cell"),
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    cents = np.ascontiguousarray(centroids.T, dtype=np.float64)
+    order = np.argsort(-(x @ cents), axis=1, kind="stable")[:, :nprobe]
+    spark = queries.sparkSession
+    rows = [
+        (qid, [float(v) for v in qv], int(cell))
+        for qid, qv, cells in zip(qpdf[query_id_col], qpdf[vec_col], order)
+        for cell in cells
+    ]
+    q = spark.createDataFrame(
+        rows, f"{query_id_col} long, __qvec array<double>, __cell int"
     )
     scored = (
         c.join(F.broadcast(q), "__cell")
