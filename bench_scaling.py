@@ -151,6 +151,12 @@ def main() -> None:
     ap.add_argument("--job", choices=["filter", "dedup"], default="filter")
     args = ap.parse_args()
 
+    # Benches opt IN to RAM-backed shuffle scratch (session.get_session no
+    # longer defaults to /dev/shm — ADVICE r2): this box's /tmp disk
+    # bandwidth otherwise dominates the wide-row shuffle and masks the
+    # compute scaling the criterion is about. Inherited by workers.
+    os.environ.setdefault("BLOOM_SPARK_SHM_SCRATCH", "1")
+
     if args.worker:
         run_worker(args.cpus, args.rows, args.partitions, args.fpr, args.job)
         return

@@ -31,6 +31,7 @@ import struct
 import numpy as np
 
 from bloom_spark.config import DEFAULT_LIMIT, DEFAULT_SIZE, parse_size
+from bloom_spark.hashing import to_uint64
 from bloom_spark.sketch.base import Sketch, register_sketch, sketch_from_bytes
 from bloom_spark.sketch.bloom import BloomSketch
 from bloom_spark.sketch.xxh_table import XXHFingerprintTable
@@ -115,9 +116,31 @@ class SketchCascade(Sketch):
         """Probe all; insert unseen keys into the first non-full member,
         spilling overflow to later generations as members fill. When
         every member is full, unseen keys are reported unseen and NOT
-        inserted — the README ``-l 9`` contract (uniques keep flowing)."""
-        found = self.contains_hashes(h1, h2)
-        pending = np.flatnonzero(~found)
+        inserted — the README ``-l 9`` contract (uniques keep flowing).
+
+        Duplicate keys WITHIN the batch after the first occurrence are
+        reported present and not re-inserted (the reference's per-line
+        loop sees the first copy's insert before probing the second;
+        re-inserting would also double-consume member capacity)."""
+        n = len(h1)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        if h2 is None:
+            _, first_idx, inverse = np.unique(
+                to_uint64(h1), return_index=True, return_inverse=True
+            )
+        else:
+            pair = np.stack([to_uint64(h1), to_uint64(h2)], axis=1)
+            _, first_idx, inverse = np.unique(
+                pair, axis=0, return_index=True, return_inverse=True
+            )
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        found_unique = self.contains_hashes(
+            h1[first_idx], None if h2 is None else h2[first_idx]
+        )
+        found = found_unique[np.asarray(inverse).ravel()] | ~is_first
+        pending = np.flatnonzero(is_first & ~found)
         n_pending = len(pending)
         for m in self.members:
             if len(pending) == 0:

@@ -36,13 +36,20 @@ def get_session(
     extra_conf: dict | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("BLOOM_SPARK_MASTER", "local[*]")
-    # Shuffle/spill scratch: prefer RAM-backed /dev/shm when present —
-    # wide-row dedup shuffles (full text through the exchange) are
-    # otherwise bound by /tmp disk bandwidth, which a multi-node cluster
-    # would spread across per-executor local NVMe. Override with
-    # BLOOM_SPARK_LOCAL_DIR.
+    # Shuffle/spill scratch: RAM-backed /dev/shm is OPT-IN
+    # (BLOOM_SPARK_SHM_SCRATCH=1, or point BLOOM_SPARK_LOCAL_DIR anywhere).
+    # It helps single-box benches whose wide-row dedup shuffles are bound
+    # by /tmp disk bandwidth, but tmpfs is typically capped at 50% RAM:
+    # defaulting shuffle+spill into it would turn a bigger-than-RAM
+    # shuffle into ENOSPC/OOM instead of spill-to-disk, so it must never
+    # be the silent default (ADVICE r2). On a real cluster, leave unset —
+    # spark.local.dir should be per-executor local NVMe.
     local_dir = os.environ.get("BLOOM_SPARK_LOCAL_DIR")
-    if local_dir is None and os.path.isdir("/dev/shm"):
+    if (
+        local_dir is None
+        and os.environ.get("BLOOM_SPARK_SHM_SCRATCH", "").lower() in ("1", "true", "yes")
+        and os.path.isdir("/dev/shm")
+    ):
         local_dir = "/dev/shm/bloom_spark_scratch"
     builder = (
         SparkSession.builder.appName(app_name)

@@ -160,13 +160,27 @@ class XXHFingerprintTable(Sketch):
         self, h: np.ndarray, _h2: np.ndarray | None = None
     ) -> np.ndarray:
         """≙ check_and_set (container_memory_xxh.rs:156-161). ``_h2``
-        accepted for the uniform (h1, h2) probe signature and ignored."""
-        found = self.contains_hashes(h)
-        todo = ~found
+        accepted for the uniform (h1, h2) probe signature and ignored.
+
+        Mirrors BloomSketch: duplicate hashes WITHIN the batch after the
+        first occurrence are reported present (the reference's per-line
+        loop would see the first copy's insert before probing the
+        second); the table is probed once for the batch's distinct
+        hashes."""
+        n = len(h)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        hu = to_uint64(h)
+        _, first_idx, inverse = np.unique(hu, return_index=True, return_inverse=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        found_unique = self.contains_hashes(hu[first_idx])
+        found = found_unique[inverse.ravel()] | ~is_first
         if self.limit is not None and self.n_inserted >= self.limit:
             return found
+        todo = is_first & ~found
         if todo.any():
-            self.update_hashes(h[todo])
+            self.update_hashes(hu[todo])
         return found
 
     # -- value-level convenience ---------------------------------------------------

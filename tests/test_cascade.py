@@ -99,6 +99,26 @@ class TestCascade:
         # second pass: everything is a member of SOME generation
         assert c.check_and_set_hashes(h1, h2).all()
 
+    def test_intra_batch_duplicates_reported_found_once(self):
+        """ADVICE r2 (high): pending came from one upfront contains pass,
+        so duplicate keys in one batch were ALL reported fresh, inserted,
+        and double-consumed member capacity. The reference's per-line loop
+        sees the first copy's insert before probing the second."""
+        gen0 = BloomSketch.from_fpr(100, 1e-9, limit=3)
+        gen1 = BloomSketch.from_fpr(100, 1e-9, limit=100)
+        c = SketchCascade([gen0, gen1])
+        vals = pd.Series(["a", "b", "a", "a", "c", "b"])
+        h1, h2 = hash_series_pair(vals)
+        seen = c.check_and_set_hashes(h1, h2)
+        assert seen.tolist() == [False, False, True, True, False, True]
+        # 3 distinct keys = 3 writes total; gen0 has room for all of them
+        assert gen0.n_inserted == 3 and gen1.n_inserted == 0
+        # an XXH member behaves identically through the cascade (h2=None)
+        cx = SketchCascade([XXHFingerprintTable(64 * 1024, limit=100)])
+        seen_x = cx.check_and_set_hashes(h1)
+        assert seen_x.tolist() == [False, False, True, True, False, True]
+        assert cx.n_inserted == 3
+
     def test_all_full_uniques_still_flow(self, caplog):
         c = SketchCascade([BloomSketch.from_fpr(64, 1e-9, limit=4)])
         h1, h2 = hash_series_pair(_strings("a", 4))

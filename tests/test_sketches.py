@@ -323,6 +323,18 @@ class TestXXHTable:
         assert not t.check_and_set(v)[0]
         assert t.check_and_set(v)[0]
 
+    def test_check_and_set_first_wins_within_batch(self):
+        # ADVICE r2 (high): found was computed once before any insert, so
+        # two equal hashes in ONE batch both reported unseen — an XXH-backed
+        # dedup emitted intra-batch duplicates. Mirror BloomSketch: only the
+        # first occurrence is unseen.
+        t = XXHFingerprintTable(size_bytes=64 * 1024)
+        v = pd.Series(["x", "y", "x", "x", "y", "z"])
+        out = t.check_and_set(v)
+        assert out.tolist() == [False, False, True, True, True, False]
+        # and the duplicates consumed no extra slots
+        assert t.n_inserted == 3
+
     def test_dedup_no_false_negatives_when_roomy(self):
         t = XXHFingerprintTable(size_bytes=1 << 20)
         vals = _strings("v", 5_000)
