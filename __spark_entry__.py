@@ -408,6 +408,73 @@ def q_xxh_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_blf_xxh3_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE reference-artifact interop, end to end: a ``.blf`` XXH
+    container file is built with the reference's exact hash pipeline —
+    numpy xxh3_64 (bit-exact vs libxxhash / xxhash-rust 0.8,
+    bloom_spark/xxh3.py) + f64-remap slot indexing
+    (container_memory_xxh.rs:21-28,139) — written in the reference's
+    byte layout, then probed FROM SPARK via ``blf_membership_udf``.
+    Emits documents not in the file (EP-C anti-filter). Geometry sized
+    so fingerprint collisions are negligible → exact at sf0.01."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from bloom_spark.io.blf import blf_membership_udf, reference_xxh_table, write_blf
+
+    docs = _docs(spark, sf_dir)
+    members = [
+        r["text"] for r in docs.where("doc_id % 20 = 0").select("text").collect()
+    ]
+    t = reference_xxh_table("256Kb", limit=1_000_000)
+    t.update(pd.Series(members))
+    fd, path = tempfile.mkstemp(suffix=".blf")
+    os.close(fd)
+    write_blf(path, t)
+    probe = blf_membership_udf(path)
+    return (
+        docs.withColumn("member", probe(F.col("text")))
+        .where(~F.col("member"))
+        .select("doc_id", "text")
+    )
+
+
+def q_blf_sip_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference BLOOM-container interop (types 0/1): a filter in the
+    bloomfilter crate's exact scheme — two persisted-key SipHash-1-3
+    hashers over ``utf8(text)||0xff``, combiner mod the u64 prime
+    (container_memory_bloom.rs:76-113; core validated against the
+    SipHash paper's published vectors) — written as a type-0 ``.blf``
+    and probed from Spark. FPR 1e-9 → exact at sf0.01."""
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from bloom_spark.io.blf import blf_membership_udf, write_blf
+    from bloom_spark.io.blf_bloom import ReferenceBloom
+
+    docs = _docs(spark, sf_dir)
+    members = [
+        r["text"] for r in docs.where("doc_id % 10 = 0").select("text").collect()
+    ]
+    f = ReferenceBloom.new_for_fp_rate(max(len(members), 1), 1e-9)
+    f.set(pd.Series(members))
+    fd, path = tempfile.mkstemp(suffix=".blf")
+    os.close(fd)
+    write_blf(path, f)
+    probe = blf_membership_udf(path)
+    return (
+        docs.withColumn("member", probe(F.col("text")))
+        .where(~F.col("member"))
+        .select("doc_id", "text")
+    )
+
+
 def q_bloom_fpr_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BASELINE metric itself as data: build a filter at a loose FPR
     (1e-2) over half the events' user_ids, probe the disjoint other
@@ -843,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_anti_filter": q_bloom_anti_filter,
         "xxh_anti_filter": q_xxh_anti_filter,
+        "blf_xxh3_interop": q_blf_xxh3_interop,
+        "blf_sip_interop": q_blf_sip_interop,
         "bloom_fpr_bound": q_bloom_fpr_bound,
         "bloom_inverse_filter": q_bloom_inverse_filter,
         "cascade_anti_filter": q_cascade_anti_filter,
@@ -1000,6 +1069,14 @@ def oracle_sql() -> dict[str, str]:
         "xxh_anti_filter": """
             SELECT doc_id, text FROM documents
             WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+        """,
+        "blf_xxh3_interop": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 20 = 0)
+        """,
+        "blf_sip_interop": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 10 = 0)
         """,
         "bloom_inverse_filter": """
             SELECT doc_id, text FROM documents

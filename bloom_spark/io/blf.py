@@ -23,22 +23,23 @@ bitorder='big'). Slot i spans table bits [i*21, i*21+20]: bit i*21 is
 the occupied flag; the 20 key bits follow LSB-FIRST (key bit k → table
 bit i*21+1+k — set_bit_vec_slice, container_memory_xxh.rs:43-48).
 
-What interops and what cannot:
+What interops:
 - XXH tables (type 2) are key-free — ``read_blf`` recovers the slot
   table bit-exactly into an :class:`XXHFingerprintTable` with the
-  reference's f64-remap slot indexing (``remap_slots=True``). The
-  loaded table is PROBE-ONLY (no raw hashes → ``merge`` refuses,
-  see sketch/xxh_table.py). Probing a file written by the actual Rust
-  binary additionally requires xxh3_64 of the probed value — not
-  shipped in this environment; pass a vectorized ``hash_fn`` to
-  :meth:`XXHFingerprintTable.contains`-style helpers if you have one.
-  Files round-trip through :func:`write_blf` probe with our hash
-  family unchanged.
+  reference's f64-remap slot indexing (``remap_slots=True``) AND the
+  reference's true value hash: ``bloom_spark.xxh3.xxh3_64_bytes``
+  (bit-exact vs libxxhash/xxhash-rust 0.8) is installed as the
+  table's ``hash_fn``, so ``contains(lines)`` on a file written by
+  the actual Rust binary answers exactly what the binary would
+  (container_memory_xxh.rs:21-28,139). The loaded table is PROBE-ONLY
+  (no raw hashes → ``merge`` refuses, see sketch/xxh_table.py).
+  Symmetrically, :func:`write_blf` of a table built with
+  ``reference_xxh_table()`` produces a file the Rust binary reads.
+  ``blf_membership_udf`` is the Spark probe path (value → bool).
 - Bloom files (types 0/1) persist two RANDOM SipHash-1-3 keys inside
-  the payload (container_memory_bloom.rs:79-85): membership cannot be
-  evaluated without a SipHash-1-3 implementation keyed by them, so
-  ``read_blf`` refuses these with an explanatory error (documented
-  non-goal, SURVEY.md §2.4 H2).
+  the payload (container_memory_bloom.rs:79-85); ``read_blf``
+  dispatches them to :mod:`bloom_spark.io.blf_bloom` which probes via
+  a vectorized keyed SipHash-1-3 (the bloomfilter crate's scheme).
 """
 
 from __future__ import annotations
@@ -46,6 +47,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd  # module-global: pandas_udf type hints resolve here
 
 from bloom_spark.sketch.xxh_table import KEY_BITS, SLOT_BITS, XXHFingerprintTable
 
@@ -79,21 +81,39 @@ def read_header(blob: bytes) -> dict:
     }
 
 
-def read_blf(path: str) -> XXHFingerprintTable:
-    """Load a reference XXH container file into a probe-only
-    :class:`XXHFingerprintTable` (reference ``from_file``,
-    container.rs:113-170: CLI params are overridden by the header)."""
+def read_blf(path: str, k_num: int | str = "derived"):
+    """Load a reference filter file (reference ``from_file``,
+    container.rs:113-170: CLI params are overridden by the header).
+
+    Type 2 (XXH) → probe-only :class:`XXHFingerprintTable` with the
+    true reference hash (xxh3_64) installed; types 0/1 (Bloom) →
+    :class:`bloom_spark.io.blf_bloom.ReferenceBloom` probing with the
+    persisted SipHash-1-3 keys. Both expose ``contains(values)``.
+
+    ``k_num`` (Bloom types only): ``"derived"`` (default) re-derives
+    the k the WRITER used from the header via the crate's own formula;
+    ``"header-limit"`` reproduces the reference's reload quirk of
+    passing the limit as k (see blf_bloom module docstring); an int
+    forces an explicit k.
+    """
     with open(path, "rb") as f:
         blob = f.read()
     hdr = read_header(blob)
     ct = hdr["construction_type"]
     if ct in (CT_BLOOM_LINES_AND_SIZE, CT_BLOOM_LINES_AND_ERROR_RATE):
-        raise ValueError(
-            "reference Bloom container files persist filter-specific random "
-            "SipHash-1-3 keys (container_memory_bloom.rs:79-85) and cannot "
-            "be probed without a keyed SipHash implementation; only XXH "
-            "containers (key-free) interop"
-        )
+        from bloom_spark.io.blf_bloom import ReferenceBloom, optimal_k_num
+
+        payload = blob[HEADER_LEN:]
+        bitmap_bits = (len(payload) - 32) * 8
+        if k_num == "derived":
+            k = optimal_k_num(bitmap_bits, hdr["limit"])
+        elif k_num == "header-limit":
+            k = int(hdr["limit"])
+        else:
+            k = int(k_num)
+        filt = ReferenceBloom.from_payload(payload, k)
+        filt.n_inserted = int(hdr["num_writes"])
+        return filt
     if ct != CT_XXH_LIMIT_AND_SIZE:
         raise ValueError(f"unknown construction type {ct}")
     table = XXHFingerprintTable(
@@ -113,13 +133,52 @@ def read_blf(path: str) -> XXHFingerprintTable:
     table.fp = fp
     table.n_inserted = int(hdr["num_writes"])
     table.replayable = False  # raw hashes are not in the file
+    # reference-written files hashed every line with xxh3_64; install the
+    # bit-exact numpy implementation so value-level probes answer exactly
+    # what the Rust binary would (container_memory_xxh.rs:139)
+    from bloom_spark.xxh3 import xxh3_64_bytes
+
+    table.hash_fn = xxh3_64_bytes
     return table
 
 
-def write_blf(path: str, table: XXHFingerprintTable) -> None:
-    """Write an :class:`XXHFingerprintTable` in the reference's exact
-    file layout (fixture writer for round-trip tests; ≙ ``save``,
-    container.rs:53-88 + container_memory_xxh.rs:199-203)."""
+def reference_xxh_table(
+    size_bytes: int | str, limit: int | None = None
+) -> XXHFingerprintTable:
+    """An :class:`XXHFingerprintTable` configured for FULL reference
+    parity: f64-remap slot indexing AND true xxh3_64 value hashing —
+    inserts land in exactly the slots the Rust binary would use, so
+    :func:`write_blf` of this table produces a file the binary probes
+    identically (migration in the write direction)."""
+    from bloom_spark.xxh3 import xxh3_64_bytes
+
+    t = XXHFingerprintTable(size_bytes, limit=limit, remap_slots=True)
+    t.hash_fn = xxh3_64_bytes
+    return t
+
+
+def write_blf(path: str, table) -> None:
+    """Write a filter in the reference's exact file layout (≙ ``save``,
+    container.rs:53-88). Accepts an :class:`XXHFingerprintTable`
+    (type 2, container_memory_xxh.rs:199-203) or a
+    :class:`~bloom_spark.io.blf_bloom.ReferenceBloom` (type 0,
+    sip keys + bitmap payload, container_memory_bloom.rs:76-90)."""
+    from bloom_spark.io.blf_bloom import ReferenceBloom
+
+    if isinstance(table, ReferenceBloom):
+        limit = table.items_count or table.n_inserted
+        header = _HEAD.pack(MAGIC) + _FIELDS.pack(
+            CT_BLOOM_LINES_AND_SIZE,
+            table.m // 8,
+            limit,
+            0.0,
+            table.n_inserted,
+            limit,
+        )
+        with open(path, "wb") as f:
+            f.write(header.ljust(HEADER_LEN, b"\0"))
+            f.write(table.to_payload())
+        return
     header = _HEAD.pack(MAGIC) + _FIELDS.pack(
         CT_XXH_LIMIT_AND_SIZE,
         table.size_bytes,
@@ -138,3 +197,32 @@ def write_blf(path: str, table: XXHFingerprintTable) -> None:
     with open(path, "wb") as f:
         f.write(header)
         f.write(np.packbits(bits, bitorder="big").tobytes())
+
+
+_BLF_WORKER_CACHE: dict = {}
+
+
+def blf_membership_udf(path: str):
+    """A pandas UDF ``(value: string) -> bool`` probing a reference
+    ``.blf`` file — the Spark-side migration path for artifacts written
+    by the actual Rust binary (both container families).
+
+    Unlike the native probe (``ops.build.membership_udf``, which ships
+    16 B/row of JVM-computed hashes), this must move the VALUE bytes to
+    Python: the reference's hashes (xxh3_64 / keyed SipHash-1-3) are
+    not Catalyst expressions. Both hash implementations are vectorized
+    numpy over the Arrow batch; the file is loaded once per worker and
+    shared via the OS page cache. Use for interop/migration; prefer the
+    native path for greenfield filters.
+    """
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("boolean")
+    def probe(values: pd.Series) -> pd.Series:
+        filt = _BLF_WORKER_CACHE.get(path)
+        if filt is None:
+            filt = read_blf(path)
+            _BLF_WORKER_CACHE[path] = filt
+        return pd.Series(np.asarray(filt.contains(values), dtype=bool))
+
+    return probe

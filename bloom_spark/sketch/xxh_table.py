@@ -73,6 +73,11 @@ class XXHFingerprintTable(Sketch):
         # from slot-only payloads) have replayable=False and cannot merge.
         self._hash_chunks: list[np.ndarray] = []
         self.replayable = True
+        # value-level hash family. None = the library's seeded xxhash64
+        # (hash_series); io.blf.read_blf sets the true reference hash
+        # (xxh3.xxh3_64_bytes) so files written by the Rust binary probe
+        # correctly. Not serialized: the Spark data path feeds hashes.
+        self.hash_fn = None
 
     # -- probing ---------------------------------------------------------------
     def _base(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -184,14 +189,19 @@ class XXHFingerprintTable(Sketch):
         return found
 
     # -- value-level convenience ---------------------------------------------------
+    def _value_hashes(self, values: pd.Series) -> np.ndarray:
+        if self.hash_fn is not None:
+            return to_uint64(self.hash_fn(values))
+        return hash_series(values, 1)
+
     def update(self, values: pd.Series) -> None:
-        self.update_hashes(hash_series(values, 1))
+        self.update_hashes(self._value_hashes(values))
 
     def contains(self, values: pd.Series) -> np.ndarray:
-        return self.contains_hashes(hash_series(values, 1))
+        return self.contains_hashes(self._value_hashes(values))
 
     def check_and_set(self, values: pd.Series) -> np.ndarray:
-        return self.check_and_set_hashes(hash_series(values, 1))
+        return self.check_and_set_hashes(self._value_hashes(values))
 
     def is_full(self) -> bool:
         return self.limit is not None and self.n_inserted >= self.limit

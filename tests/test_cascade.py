@@ -170,9 +170,13 @@ class TestCascade:
 # ------------------------------------------------------------- .blf files
 class TestBlfInterop:
     def test_header_roundtrip_and_probe(self, tmp_path):
-        from bloom_spark.io.blf import read_blf, read_header, write_blf
+        """Full write-direction parity: a table built with the
+        reference's slot indexing AND its true xxh3_64 value hash,
+        persisted in the reference layout, probes identically after a
+        byte round-trip."""
+        from bloom_spark.io.blf import read_blf, read_header, reference_xxh_table, write_blf
 
-        t = XXHFingerprintTable("32Kb", limit=5000, remap_slots=True)
+        t = reference_xxh_table("32Kb", limit=5000)
         vals = _strings("k", 2000)
         t.update(vals)
         path = str(tmp_path / "f.blf")
@@ -189,22 +193,34 @@ class TestBlfInterop:
         assert (back.occupied == t.occupied).all()
         assert (back.fp == t.fp).all()
         assert back.remap_slots and not back.replayable
-        # probing with the same hash family answers identically
+        # read_blf installs the reference's xxh3_64 as the value hash:
+        # probes answer exactly what the Rust binary would
+        assert back.hash_fn is not None
         assert (back.contains(vals) == t.contains(vals)).all()
         assert back.contains(vals).all()
 
-    def test_bloom_blf_refused(self, tmp_path):
-        import struct
+    def test_bloom_blf_roundtrip(self, tmp_path):
+        """Types 0/1 interop via persisted SipHash-1-3 keys (the
+        bloomfilter crate's scheme, container_memory_bloom.rs:76-113)."""
+        from bloom_spark.io.blf import read_blf, read_header, write_blf
+        from bloom_spark.io.blf_bloom import ReferenceBloom
 
-        from bloom_spark.io.blf import MAGIC, read_blf
+        f = ReferenceBloom.new_for_fp_rate(1000, 1e-6)
+        vals = _strings("m", 1000)
+        f.set(vals)
+        path = str(tmp_path / "b.blf")
+        write_blf(path, f)
+        assert read_header(open(path, "rb").read())["construction_type"] == 0
 
-        path = tmp_path / "b.blf"
-        hdr = struct.pack(">I", MAGIC) + struct.pack(
-            "<BQQdQQ", 1, 1024, 10, 0.01, 0, 10
-        )
-        path.write_bytes(hdr.ljust(128, b"\0") + b"\0" * 1024)
-        with pytest.raises(ValueError, match="SipHash"):
-            read_blf(str(path))
+        back = read_blf(path)
+        assert isinstance(back, ReferenceBloom)
+        assert back.m == f.m and back.sip_keys == f.sip_keys
+        assert back.contains(vals).all()          # zero false negatives
+        fresh = _strings("zz", 2000)
+        assert back.contains(fresh).sum() <= 2    # ~1e-6 FPR
+        # the reload quirk (k = limit) is reproducible on request
+        quirk = read_blf(path, k_num="header-limit")
+        assert quirk.k_num == f.n_inserted
 
     def test_bad_magic_refused(self, tmp_path):
         from bloom_spark.io.blf import read_blf

@@ -1,0 +1,182 @@
+"""Reference hash interop: numpy XXH3-64 and keyed SipHash-1-3.
+
+The reference binary hashes lines with xxh3_64 (container_memory_xxh.rs:139)
+and probes its Bloom containers with two keyed SipHash-1-3 hashers from
+the bloomfilter crate (container_memory_bloom.rs:79-113). Both are public
+algorithms reimplemented from scratch in numpy; these tests pin them to
+external ground truth:
+
+- XXH3-64 against ``libxxhash`` via ctypes (the frozen v0.8 algorithm —
+  exactly what xxhash-rust 0.8.x implements), every length class.
+- SipHash core against the published SipHash-2-4 paper vectors (same
+  round function as 1-3).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bloom_spark.siphash import siphash_batch, siphash_scalar
+from bloom_spark.xxh3 import xxh3_64_bytes
+
+
+def _libxxhash():
+    try:
+        lib = ctypes.CDLL("libxxhash.so.0")
+    except OSError:
+        return None
+    lib.XXH3_64bits.restype = ctypes.c_uint64
+    lib.XXH3_64bits.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    return lib
+
+
+class TestXXH3:
+    def test_known_empty_vector(self):
+        # the widely published XXH3_64bits("") value — independent of
+        # the ctypes oracle below
+        assert int(xxh3_64_bytes([b""])[0]) == 0x2D06800538D394C2
+
+    def test_bit_exact_vs_libxxhash_all_length_classes(self):
+        lib = _libxxhash()
+        if lib is None:
+            pytest.skip("libxxhash not present")
+        rng = random.Random(42)
+        lens = list(range(0, 300)) + [
+            511, 512, 513, 1023, 1024, 1025, 2047, 2048, 2049, 5000, 10240
+        ]
+        cases = [bytes(rng.randrange(256) for _ in range(L)) for L in lens]
+        got = xxh3_64_bytes(cases)
+        want = [lib.XXH3_64bits(b, len(b)) for b in cases]
+        assert [int(g) for g in got] == want
+
+    def test_str_hashes_utf8_bytes(self):
+        s = "héllo wörld"
+        assert int(xxh3_64_bytes([s])[0]) == int(
+            xxh3_64_bytes([s.encode("utf-8")])[0]
+        )
+
+
+class TestSipHash:
+    # First 9 published SipHash-2-4 reference vectors (Aumasson &
+    # Bernstein, vectors.h of the reference implementation): key
+    # 000102...0f, message 00,01,...,len-1. Same round function as the
+    # 1-3 variant the bloomfilter crate uses.
+    K0, K1 = 0x0706050403020100, 0x0F0E0D0C0B0A0908
+    VECTORS = [
+        "726fdb47dd0e0e31", "74f839c593dc67fd", "0d6c8009d9a94f5a",
+        "85676696d7fb7e2d", "cf2794e0277187b7", "18765564cd99a68d",
+        "cbc9466e58fee3ce", "ab0200f58b01d137", "93f5f5799a932462",
+    ]
+
+    def test_published_24_vectors(self):
+        for length, want in enumerate(self.VECTORS):
+            got = siphash_scalar(self.K0, self.K1, bytes(range(length)), c=2, d=4)
+            assert got == int(want, 16), length
+
+    def test_batch_matches_scalar_13(self):
+        rng = random.Random(1)
+        streams = [
+            bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200)))
+            for _ in range(500)
+        ]
+        batch = siphash_batch(self.K0, self.K1, streams, c=1, d=3)
+        # scalar path hashes one-element batches — different slicing /
+        # sort order through the vectorized loop
+        for s, got in zip(streams, batch):
+            assert int(got) == siphash_scalar(self.K0, self.K1, s, c=1, d=3)
+
+
+class TestReferenceBloomInterop:
+    def test_geometry_formulas(self):
+        from bloom_spark.io.blf_bloom import compute_bitmap_size, optimal_k_num
+
+        # crate formulas: k = max(1, ceil(m/n ln2));
+        # bytes = ceil(n ln p / (-8 ln^2 2))
+        assert compute_bitmap_size(1000, 1e-6) == 3595
+        assert optimal_k_num(3595 * 8, 1000) == 20  # ≈ -log2(1e-6)
+
+    def test_probe_scheme_snapshot(self):
+        """Pin the full probe pipeline (sip13 of utf8||0xff, combiner
+        mod the u64 prime, bit = h % m) against a hand-computed
+        snapshot so refactors can't silently change the family."""
+        from bloom_spark.io.blf_bloom import _PRIME, ReferenceBloom
+
+        f = ReferenceBloom(bitmap_bits=1 << 20, k_num=5,
+                           sip_keys=[(11, 22), (33, 44)])
+        idx = f._bit_offsets(pd.Series(["doc"]))[0]
+        stream = b"doc\xff"
+        h0 = siphash_scalar(11, 22, stream, c=1, d=3)
+        h1 = siphash_scalar(33, 44, stream, c=1, d=3)
+        want = [h0 % (1 << 20), h1 % (1 << 20)] + [
+            ((h0 + i * h1) % 2**64) % _PRIME % (1 << 20) for i in (2, 3, 4)
+        ]
+        assert idx.tolist() == want
+
+    def test_payload_roundtrip_and_fpr(self):
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new_for_fp_rate(2000, 1e-4)
+        vals = pd.Series([f"line-{i}" for i in range(2000)])
+        f.set(vals)
+        back = ReferenceBloom.from_payload(f.to_payload(), f.k_num)
+        assert back.contains(vals).all()
+        fresh = pd.Series([f"other-{i}" for i in range(5000)])
+        assert back.contains(fresh).mean() < 1e-3  # ~1e-4 target
+
+    def test_check_and_set_first_wins(self):
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new(4096, 100)
+        out = f.check_and_set(pd.Series(["a", "b", "a"]))
+        assert out.tolist() == [False, False, True]
+
+
+class TestBlfSparkProbe:
+    def test_blf_membership_udf_anti_join(self, spark, tmp_path):
+        """Spark-side migration probe of a reference-layout file built
+        with the TRUE reference hash (xxh3): filter documents against a
+        .blf exactly as the Rust binary would answer."""
+        import pyspark.sql.functions as F
+
+        from bloom_spark.io.blf import blf_membership_udf, reference_xxh_table, write_blf
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        member_rows = docs.where("doc_id % 20 = 0").select("text").collect()
+        t = reference_xxh_table("64Kb", limit=10_000)
+        t.update(pd.Series([r["text"] for r in member_rows]))
+        path = str(tmp_path / "ref.blf")
+        write_blf(path, t)
+
+        probe = blf_membership_udf(path)
+        out = docs.withColumn("member", probe(F.col("text")))
+        hits = out.where("member").select("doc_id").collect()
+        want = {r["doc_id"] for r in docs.where("doc_id % 20 = 0").collect()}
+        got = {r["doc_id"] for r in hits}
+        assert want <= got                      # zero false negatives
+        assert len(got - want) <= 3             # 20-bit fp + low fill
+
+    def test_blf_membership_udf_bloom_family(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from bloom_spark.io.blf import blf_membership_udf, write_blf
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        members = [r["text"] for r in docs.where("doc_id % 5 = 0").select("text").collect()]
+        f = ReferenceBloom.new_for_fp_rate(max(len(members), 1), 1e-9)
+        f.set(pd.Series(members))
+        path = str(tmp_path / "refbloom.blf")
+        write_blf(path, f)
+
+        probe = blf_membership_udf(path)
+        got = {
+            r["doc_id"]
+            for r in docs.withColumn("m", probe(F.col("text"))).where("m").collect()
+        }
+        want = {r["doc_id"] for r in docs.where("doc_id % 5 = 0").collect()}
+        assert got == want
