@@ -205,10 +205,13 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = line_dedup(
-        spark, pages, "text", "page_id", fpr=1e-9,
-        expected_n=200_000, lines_per_doc=1000,
+        spark, pages, "text", "page_id", fpr=1e-9, expected_n=200_000,
     )
-    return out.select("line", F.col("__ord").alias("first_ord"))
+    # the survivor IS the first occurrence (struct-ordered dedup), so its
+    # own (page_id, line_no) reproduces the oracle's arithmetic min-key
+    return out.select(
+        "line", (F.col("page_id") * 1000 + F.col("line_no")).alias("first_ord")
+    )
 
 
 def q_bloom_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +408,53 @@ def q_xxh_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen = docs.where(docs.source == "src0")
     table, _ = build_sketch(seen, ["text"], lambda: XXHFingerprintTable(1 << 20))
     out = dedup_against_filter(spark, docs, ["text"], table)
+    return out.select("doc_id", "text")
+
+
+def q_cascade_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 per-record debug traces (≙ the reference's ``-d``/``-di``
+    eprintln's, process.rs:111-176) as a DataFrame: for every document,
+    which generation of a two-generation cascade holds its text, found
+    flag, and the current writable index. FPR 1e-9 → exact."""
+    from bloom_spark.ops.build import build_sketch
+    from bloom_spark.ops.cascade import SketchCascade, trace_members
+    from bloom_spark.sketch import BloomSketch
+
+    docs = _docs(spark, sf_dir)
+    gen0, _ = build_sketch(
+        docs.where("source = 'src0'"), ["text"],
+        lambda: BloomSketch.from_fpr(1000, 1e-9),
+    )
+    gen1, _ = build_sketch(
+        docs.where("source = 'src1'"), ["text"],
+        lambda: BloomSketch.from_fpr(1000, 1e-9),
+    )
+    c = SketchCascade([gen0, gen1])
+    return trace_members(spark, docs, ["text"], c).select(
+        "doc_id", "found", "container", "writable"
+    )
+
+
+def q_sharded_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP-B/EP-C through the SHARDED artifact (ops.sharded): the filter
+    is built and written as per-shard files by the executors that own
+    each key range — no treeAggregate fold, no driver-side filter
+    materialization (the measured ∝m serial term of the single-file
+    path, VERDICT r2) — then probed shard-wise via per-shard mmap.
+    Same answers as the single filter at this fpr → exact at sf0.01."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.dedup import dedup_against_filter
+    from bloom_spark.ops.sharded import build_sharded_bloom
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(docs.source == "src0")
+    out_dir = tempfile.mkdtemp(prefix="bs_shards_")
+    build_sharded_bloom(seen, ["text"], out_dir, n_shards=8,
+                        expected_n=1000, fpr=1e-9)
+    out = dedup_against_filter(spark, docs, ["text"], out_dir)
     return out.select("doc_id", "text")
 
 
@@ -861,8 +911,16 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXTRACTED from the html:binary column (deterministic Catalyst
     extraction, byte-identical per url — the north-star invariant,
     asserted in-query against the generator's text) → UTF-8 validity
-    gate → salted build → merged filter metrics + dedup counts. No SQL
-    oracle (xxhash64-based generator) — rows-only check."""
+    gate → salted build → merged filter metrics + dedup counts.
+
+    PARTIAL oracle (VERDICT r2 #9): the generator draws from Spark's
+    xxhash64, which DuckDB cannot replay, so the exact valid/invalid/
+    distinct counts are not SQL-expressible. Instead every
+    non-replayable count is converted to a Spark-side-verified
+    INVARIANT (consistency equations + CLT bounds on the generator's
+    published fractions) and the output row carries only
+    oracle-expressible constants + booleans — the extraction-mismatch
+    count (exactly 0 by the north-star invariant) stays exact."""
     import pyspark.sql.functions as F
 
     from bloom_spark.functions.text import extract_text
@@ -886,18 +944,28 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     distinct_texts = exact_dedup(valid, ["etext"]).count()
     invalid = pages.where("etext IS NULL").count()
+    total = 20_000
+    # invariants the oracle can state as constants:
+    # - counts partition the input exactly
+    # - invalid fraction ≈ INVALID_UTF8_FRACTION (0.005): 5σ CLT band
+    # - dup structure: distinct ≤ valid, and ≈ (1-0.3)·valid ± donor
+    #   collisions (wide 10% band — donors can themselves be dups)
+    counts_consistent = (n + invalid == total) and (0 < distinct_texts <= n)
+    invalid_frac_ok = abs(invalid / total - 0.005) < 5 * (0.005 * 0.995 / total) ** 0.5
+    distinct_frac_ok = 0.60 <= distinct_texts / n <= 0.80
     return spark.createDataFrame(
         [
             (
-                int(n),
-                int(distinct_texts),
-                int(invalid),
-                bool(sketch.dense),
+                total,
                 int(extraction_mismatches),
+                bool(counts_consistent),
+                bool(invalid_frac_ok),
+                bool(distinct_frac_ok),
+                bool(sketch.dense),
             )
         ],
-        "valid_rows long, distinct_texts long, invalid_rows long, "
-        "filter_dense boolean, extraction_mismatches long",
+        "total_rows long, extraction_mismatches long, counts_consistent boolean, "
+        "invalid_frac_ok boolean, distinct_frac_ok boolean, filter_dense boolean",
     )
 
 
@@ -910,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_anti_filter": q_bloom_anti_filter,
         "xxh_anti_filter": q_xxh_anti_filter,
+        "cascade_trace": q_cascade_trace,
+        "sharded_anti_filter": q_sharded_anti_filter,
         "blf_xxh3_interop": q_blf_xxh3_interop,
         "blf_sip_interop": q_blf_sip_interop,
         "bloom_fpr_bound": q_bloom_fpr_bound,
@@ -1067,6 +1137,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0::BIGINT AS false_negatives, TRUE AS fpr_within_bound
         """,
         "xxh_anti_filter": """
+            SELECT doc_id, text FROM documents
+            WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+        """,
+        "pages_pipeline": """
+            SELECT CAST(20000 AS BIGINT) AS total_rows,
+                   CAST(0 AS BIGINT) AS extraction_mismatches,
+                   TRUE AS counts_consistent,
+                   TRUE AS invalid_frac_ok,
+                   TRUE AS distinct_frac_ok,
+                   TRUE AS filter_dense
+        """,
+        "cascade_trace": """
+            SELECT doc_id,
+                   (CASE WHEN source IN ('src0', 'src1') THEN TRUE ELSE FALSE END)
+                     AS found,
+                   (CASE WHEN source = 'src0' THEN 0
+                         WHEN source = 'src1' THEN 1 ELSE -1 END)::INTEGER
+                     AS container,
+                   0::INTEGER AS writable
+            FROM documents
+        """,
+        "sharded_anti_filter": """
             SELECT doc_id, text FROM documents
             WHERE text NOT IN (SELECT text FROM documents WHERE source = 'src0')
         """,

@@ -55,11 +55,14 @@ def run_worker(
     """One timed dedup job at local[cpus]; prints one JSON line.
 
     job kinds:
-    - "filter": EP-B/EP-C — build global filter over batch A (segments →
-      tree merge → driver) then broadcast-probe batch B. Carries an
-      irreducible serial term: the final merge fold + the m-bit filter
-      broadcast, both ∝ filter size (∝ n at fixed fpr) — at this input
-      size it is a visible Amdahl floor (documented in BASELINE.md).
+    - "filter": EP-B/EP-C through the SHARDED artifact (ops.sharded):
+      executors build and write per-shard filter files in parallel
+      (driver holds only the manifest), batch B probes shard-wise via
+      per-shard mmap. Replaces the r2 single-file path whose driver
+      fold + filter materialization (∝ m) capped scaling at 0.679.
+    - "filter_mono": the old single-file path (build_sketch →
+      treeAggregate → one file → mmap probe), kept measurable for the
+      before/after comparison in BASELINE.md.
     - "dedup": EP-A — the single-pass sharded dedup (`bloom_dedup`):
       key-hash repartition + per-partition check_and_set, survivors
       counted. No global merge, no broadcast, no driver-held filter —
@@ -67,6 +70,7 @@ def run_worker(
       metric."""
     from bloom_spark.ops.build import build_sketch
     from bloom_spark.ops.dedup import bloom_dedup, dedup_against_filter
+    from bloom_spark.ops.sharded import build_sharded_bloom
     from bloom_spark.session import get_session
     from bloom_spark.sketch import BloomSketch
 
@@ -88,7 +92,26 @@ def run_worker(
             ).count()
             return n_rows, survivors
 
-    else:
+    elif job_kind == "filter":
+
+        def job(a, b) -> tuple[int, int]:
+            import shutil
+            import tempfile
+
+            d = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            out_dir = tempfile.mkdtemp(prefix="bs_shards_", dir=d)
+            try:
+                manifest = build_sharded_bloom(
+                    a, ["text"], out_dir, n_shards=partitions,
+                    expected_n=n_rows, fpr=fpr,
+                )
+                n_seen = sum(e["n_rows"] for e in manifest["shards"])
+                cnt = dedup_against_filter(spark, b, ["text"], out_dir).count()
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+            return n_seen, cnt
+
+    else:  # filter_mono — the r2 single-artifact path
 
         def job(a, b) -> tuple[int, int]:
             import tempfile
@@ -148,7 +171,9 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int)
-    ap.add_argument("--job", choices=["filter", "dedup"], default="filter")
+    ap.add_argument(
+        "--job", choices=["filter", "filter_mono", "dedup"], default="filter"
+    )
     args = ap.parse_args()
 
     # Benches opt IN to RAM-backed shuffle scratch (session.get_session no

@@ -16,6 +16,12 @@ from bloom_spark.ops.cascade import (  # noqa: F401
     SketchCascade,
     build_from_spec,
     pair_specs,
+    trace_members,
+)
+from bloom_spark.ops.sharded import (  # noqa: F401
+    build_sharded_bloom,
+    is_sharded_artifact,
+    sharded_membership_udf,
 )
 from bloom_spark.ops.checkpoint import SketchCheckpoint  # noqa: F401
 from bloom_spark.ops.dedup import (  # noqa: F401

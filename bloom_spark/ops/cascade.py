@@ -17,6 +17,17 @@ the reference's construction loop iterates the SPECS, creating a single
 container for the first file only (src/main.rs:349-366). We implement
 the validated intent — one spec broadcasts to every file.
 
+Second documented divergence (write ordering, process.rs:134-180): the
+reference's per-line loop check_and_sets the WRITABLE container the
+moment the iteration reaches it — so a key present only in a LATER
+container (possible when resuming from multiple pre-built filter
+files) is reported found AND still physically inserted into the
+writable one, burning a write. We probe ALL members first and insert
+only keys found nowhere: same emitted output for every input, but our
+capacity counters don't double-count such keys (the saner accounting;
+divergence matters only for resumed multi-file runs with pre-populated
+later generations).
+
 ``SketchCascade`` is itself a :class:`Sketch` (envelope = the member
 envelopes concatenated), so the broadcast probe path
 (``ops.build.membership_udf`` / ``ops.dedup.dedup_against_filter``)
@@ -29,6 +40,7 @@ from __future__ import annotations
 import struct
 
 import numpy as np
+import pandas as pd  # module-global: pandas_udf type hints resolve here
 
 from bloom_spark.config import DEFAULT_LIMIT, DEFAULT_SIZE, parse_size
 from bloom_spark.hashing import to_uint64
@@ -210,3 +222,72 @@ class SketchCascade(Sketch):
             members.append(sketch_from_bytes(payload[off : off + n]))
             off += n
         return cls(members)
+
+
+# ------------------------------------------------------------- M5 traces
+
+_TRACE_CACHE: dict = {}
+
+
+def trace_members(spark, df, cols: list[str], cascade: "SketchCascade"):
+    """M5 ≙ the reference's ``-d``/``-di`` per-record debug traces
+    (process.rs:111-176) — re-expressed as DATA instead of stderr
+    lines: per input record, which container (if any) holds the key,
+    whether it is found, and which generation a write-mode insert would
+    land in. At scale a trace TABLE is the usable form (joinable,
+    filterable, writable to parquet); eprintln-per-line is not.
+
+    Returns ``df`` plus ``found boolean``, ``container int`` (index of
+    the first member containing the key, -1 when absent — the
+    iteration order the reference walks), ``writable int`` (current
+    writable generation, -1 when all full). Read-only probe: the trace
+    does not mutate the cascade (the reference's write-mode trace
+    interleaves inserts; reproduce outcomes by tracing before a
+    ``check_and_set_hashes`` pass)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from bloom_spark.ops.build import H1_COL, H2_COL, with_hash_columns
+
+    token = uuid.uuid4().hex
+    blob_bc = spark.sparkContext.broadcast(cascade.to_bytes())
+    w = cascade.writable_index
+
+    @F.pandas_udf("struct<found:boolean, container:int, writable:int>")
+    def trace(h1: pd.Series, h2: pd.Series) -> pd.DataFrame:
+        from bloom_spark.hashing import to_uint64
+        from bloom_spark.sketch.base import sketch_from_bytes as sfb
+
+        c = _TRACE_CACHE.get(token)
+        if c is None:
+            c = _TRACE_CACHE[token] = sfb(blob_bc.value)
+        n = len(h1)
+        h1v, h2v = to_uint64(h1), to_uint64(h2)
+        cont = np.full(n, -1, dtype=np.int32)
+        pending = np.ones(n, dtype=bool)
+        for i, m in enumerate(c.members):
+            if not pending.any():
+                break
+            idx = np.flatnonzero(pending)
+            hit = m.contains_hashes(h1v[idx], h2v[idx])
+            cont[idx[hit]] = i
+            pending[idx[hit]] = False
+        return pd.DataFrame(
+            {
+                "found": cont >= 0,
+                "container": cont,
+                "writable": np.full(n, -1 if w is None else w, dtype=np.int32),
+            }
+        )
+
+    hashed = with_hash_columns(df, cols)
+    return (
+        hashed.withColumn("__tr", trace(F.col(H1_COL), F.col(H2_COL)))
+        .select(
+            *df.columns,
+            F.col("__tr.found").alias("found"),
+            F.col("__tr.container").alias("container"),
+            F.col("__tr.writable").alias("writable"),
+        )
+    )

@@ -46,14 +46,19 @@ def mark_members(
 ) -> DataFrame:
     """Add boolean ``out_col``: key ∈ sketch (F1 membership).
 
-    ``sketch`` is either an in-memory Sketch (shipped by broadcast) or a
-    PATH to a saved filter file on executor-visible storage (memory-
-    mapped per worker — zero-copy, no broadcast; the probe path for
-    filters at or beyond driver memory)."""
+    ``sketch`` is an in-memory Sketch (shipped by broadcast), a PATH to
+    a saved filter file on executor-visible storage (memory-mapped per
+    worker — zero-copy, no broadcast; the probe path for filters at or
+    beyond driver memory), or a sharded-artifact DIRECTORY
+    (ops.sharded — per-shard mmap, the 10^12-key artifact shape)."""
     if isinstance(sketch, str):
         from bloom_spark.ops.build import membership_udf_from_path
+        from bloom_spark.ops.sharded import is_sharded_artifact, sharded_membership_udf
 
-        probe = membership_udf_from_path(sketch)
+        if is_sharded_artifact(sketch):
+            probe = sharded_membership_udf(sketch)
+        else:
+            probe = membership_udf_from_path(sketch)
     else:
         probe = membership_udf(spark, sketch)
     hashed = with_hash_columns(df, cols)
@@ -178,7 +183,6 @@ def line_dedup(
     fpr: float = 1e-9,
     expected_n: int | None = None,
     num_partitions: int | None = None,
-    lines_per_doc: int = 1_000_000,
 ) -> DataFrame:
     """Dedup at the reference's ACTUAL record granularity — one text
     LINE (``read_until(b'\\n')``, reference src/bloom/process.rs:44-60;
@@ -186,17 +190,21 @@ def line_dedup(
 
     ``posexplode(split(text, '\\n'))`` JVM-side, then the single-pass
     sketch dedup (:func:`bloom_dedup`) keyed on the line with stream
-    order ``id*lines_per_doc + line_no`` — first occurrence in document
-    order wins, exactly the reference's stdin loop semantics. Returns
-    one row per distinct line: (``line``, ``line_no``, ``id_col``, plus
-    ``__ord`` the first-occurrence order key).
+    order ``struct(id, line_no)`` — first occurrence in document order
+    wins, exactly the reference's stdin loop semantics. The struct sort
+    key is overflow-free at any id scale (the previous arithmetic
+    ``id*lines_per_doc + line_no`` key overflowed int64 for
+    id ≥ ~9.2e12 at 1M lines/doc — real at crawl-archive id spaces,
+    VERDICT r2 #5). Returns one row per distinct line: (``line``,
+    ``line_no``, ``id_col``, plus ``__ord`` the struct
+    first-occurrence key (fields ``doc``, ``line``)).
     """
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
     ).withColumn(
         "__ord",
-        F.col(id_col) * F.lit(lines_per_doc) + F.col("line_no"),
+        F.struct(F.col(id_col).alias("doc"), F.col("line_no").alias("line")),
     )
     return bloom_dedup(
         spark, lines, ["line"],

@@ -387,6 +387,40 @@ class TestXXHTable:
         back = XXHFingerprintTable.from_bytes(merged.to_bytes())
         assert back.contains(vals).all()
 
+    def test_replay_history_consolidates(self):
+        """VERDICT r2 #4: the replayable hash history must stay bounded
+        by the DISTINCT attempted keys (amortized np.unique
+        consolidation), not grow per batch/merge."""
+        t = XXHFingerprintTable(size_bytes=1 << 21)  # ~800k slots
+        n, step = 200_000, 4_000
+        h = np.random.default_rng(3).integers(
+            0, 2**64, size=n, dtype=np.uint64
+        )
+        for i in range(0, n, step):
+            t.update_hashes(h[i : i + step])
+        total_recorded = sum(len(c) for c in t._hash_chunks)
+        assert total_recorded <= 2 * n  # duplicate overhead bounded at 2x
+        assert len(t._hash_chunks) <= 35  # not one chunk per batch (50)
+        # the recorded set covers every key except the few a saturated
+        # probe window already answered True for (documented semantics)
+        assert len(t._all_hashes()) >= int(n * 0.95)
+        # the invariant that matters: zero false negatives after replay
+        back = XXHFingerprintTable.from_bytes(t.to_bytes())
+        assert back.contains_hashes(h).all()
+
+        # overlapping merges consolidate too: 4 segments sharing the
+        # same 60k keys
+        segs = []
+        for _ in range(4):
+            s = XXHFingerprintTable(size_bytes=1 << 21)
+            s.update_hashes(h[:60_000])
+            segs.append(s)
+        m = segs[0]
+        for s in segs[1:]:
+            m.merge(s)
+        assert sum(len(c) for c in m._hash_chunks) <= 2 * 60_000 + (1 << 16)
+        assert m.contains_hashes(h[:60_000]).all()
+
     def test_probe_only_table_refuses_merge(self):
         a = XXHFingerprintTable(size_bytes=1 << 14)
         a.update(_strings("a", 100))

@@ -131,6 +131,63 @@ def test_stream_crash_replay_no_dup_no_loss(spark, tmp_path, monkeypatch):
     assert out.groupBy("text").count().where("count > 1").count() == 0
 
 
+def test_stream_crash_midstream_uncommitted_save_ignored(spark, tmp_path, monkeypatch):
+    """VERDICT r2 #10, the harder window: batch 0 commits, then batch 1
+    crashes AFTER ``save_sketch`` (an UNCOMMITTED ``b1`` version now
+    sits on disk) but BEFORE ``_commit``. The replay of batch 1 must
+    resolve the global state through the manifest to batch 0's filter —
+    reading the newest file on disk instead would make the batch see its
+    own keys as duplicates and overwrite its sink with an empty survivor
+    set (silent row loss, the exact ordering reasoned about in
+    ``_load_global``)."""
+    import bloom_spark.streaming.sketch_stream as ss
+
+    src = str(tmp_path / "src")
+    docs = _write_chunks(spark, src)
+    ck = SketchCheckpoint(str(tmp_path / "ck"))
+    sink = str(tmp_path / "sink")
+    factory = lambda: BloomSketch.from_fpr(2000, 1e-9)  # noqa: E731
+    fn = foreach_batch_bloom_dedup(ck, ["text"], factory, sink, order_col="doc_id")
+
+    b0 = spark.read.parquet(f"{src}/chunk0")
+    b1 = spark.read.parquet(f"{src}/chunk1")
+    fn(b0, 0)  # committed normally
+
+    real_commit = ss._commit
+    crashes = {"armed": True}
+
+    def crashy(ck_, bid, n):
+        if crashes["armed"] and bid == 1:
+            crashes["armed"] = False
+            raise RuntimeError("simulated crash after save, before commit")
+        real_commit(ck_, bid, n)
+
+    monkeypatch.setattr(ss, "_commit", crashy)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        fn(b1, 1)
+    # the uncommitted b1 version exists on disk, yet committed state
+    # must still resolve to batch 0
+    import os
+
+    assert os.path.exists(ck.sketch_path("stream_global.b1"))
+    assert ck.run_info("stream_batches")["units"] == [0]
+
+    fn(b1, 1)  # replay
+    out = spark.read.parquet(sink)
+    expected = docs.where("doc_id % 3 < 2").select("text").distinct().count()
+    assert out.count() == expected, "replay lost or duplicated batch-1 rows"
+    assert out.groupBy("text").count().where("count > 1").count() == 0
+    # global state now reflects both batches (probe through the JVM hash
+    # family the build used — the local pandas family differs by design)
+    from bloom_spark.ops.dedup import filter_members
+
+    final = load_stream_state(ck)
+    assert (
+        filter_members(spark, b1, ["text"], final, keep_members=True).count()
+        == b1.count()
+    )
+
+
 def test_windowed_event_counts_batch_semantics(spark):
     """Watermarked windowed agg: validated in batch mode (same plan) vs
     an exact groupBy — streaming-specific late-drop is Spark-built-in."""
