@@ -23,6 +23,9 @@ import time
 
 
 def main() -> None:
+    # benches opt IN to RAM-backed shuffle scratch (production default is
+    # disk so oversized shuffles spill instead of ENOSPC — session.py)
+    os.environ.setdefault("BLOOM_SPARK_SHM_SCRATCH", "1")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -59,9 +62,8 @@ def main() -> None:
     # are materialized once to a cached parquet, and the timed job reads
     # parquet like any production scan.
     from bloom_spark.io.pages import synthesize_pages
-    from bloom_spark.ops.build import build_sketch
     from bloom_spark.ops.dedup import dedup_against_filter
-    from bloom_spark.sketch import BloomSketch
+    from bloom_spark.ops.sharded import build_sharded_bloom
 
     n_pages = max(100_000, int(sf * 20_000_000))
     cache = os.path.join(
@@ -75,14 +77,25 @@ def main() -> None:
     batch_a = pages.where(f"page_id < {n_pages}").select("url", "text")
     batch_b = pages.where(f"page_id >= {n_pages}").select("url", "text")
 
+    # r3: the artifact is built SHARDED (ops.sharded — executors write
+    # per-shard files, no driver fold/materialization; scaling 0.872 vs
+    # 0.679 for the single-file path, SCALING_r3_filter100.json), so the
+    # headline measures the shape we'd actually run at 10^12 keys.
+    import shutil
+    import tempfile
+
+    shard_dir = tempfile.mkdtemp(prefix="bs_bench_shards_")
     t0 = time.perf_counter()
-    sketch, n_seen = build_sketch(
-        batch_a, ["text"], lambda: BloomSketch.from_fpr(n_pages, 1e-6)
+    manifest = build_sharded_bloom(
+        batch_a, ["text"], shard_dir, n_shards=cpus * 2,
+        expected_n=n_pages, fpr=1e-6,
     )
-    survivors = dedup_against_filter(spark, batch_b, ["text"], sketch).count()
+    n_seen = sum(e["n_rows"] for e in manifest["shards"])
+    survivors = dedup_against_filter(spark, batch_b, ["text"], shard_dir).count()
     n_probed = n_pages // 2
     dt = time.perf_counter() - t0
     timings["pages_bloom_dedup"] = round(dt, 3)
+    shutil.rmtree(shard_dir, ignore_errors=True)
     docs_per_sec = (n_seen + n_probed) / dt if dt > 0 else 0.0
 
     total = round(sum(timings.values()), 3)
