@@ -18,9 +18,16 @@ Modes:
   (default)            build filter over input, write first-occurrence
                        survivors to --output, persist the filter
   --filter-only        EP-B: build + persist the filter, no row output
+  --shards S           with --filter-only: build the SHARDED artifact
+                       (ops.sharded) under <checkpoint>/sketches/<name>/
+                       — executors write per-shard files, no driver
+                       fold/materialization; the 10^12-key shape
   --against NAME       EP-C: probe input against a previously saved
                        filter; emit non-members (or members with
-                       --inverse, ≙ the reference's -i flag)
+                       --inverse, ≙ the reference's -i flag). A NAME
+                       that is a sharded-artifact directory (or a .blf
+                       file from the reference Rust binary) probes
+                       through the matching path automatically
 
 Resumable: re-running with the same --checkpoint/--run-id skips
 committed units (per-partition lineage parquet + atomic manifest).
@@ -68,6 +75,11 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--inverse", action="store_true", help="emit members (ref -i)")
     ap.add_argument("--sketch-name", default="global")
+    ap.add_argument(
+        "--shards", type=int,
+        help="with --filter-only: persist the filter as S shard files "
+        "(ops.sharded — no driver-side fold or single-file write)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -89,18 +101,54 @@ def main(argv: list[str] | None = None) -> int:
     t0 = time.time()
     if args.against:
         # EP-C: read-only probe against existing filter(s); several
-        # names cascade (membership = OR over all)
+        # names cascade (membership = OR over all). A single name that
+        # is a sharded-artifact DIR or a reference .blf FILE routes
+        # through its dedicated probe path.
         from bloom_spark.ops.cascade import SketchCascade
+        from bloom_spark.ops.sharded import is_sharded_artifact
 
-        names = args.against.split(",")
-        members = [ck.load_sketch(n) for n in names]
-        sketch = members[0] if len(members) == 1 else SketchCascade(members)
-        out = filter_members(spark, df, keys, sketch, keep_members=args.inverse)
         if not args.output:
             raise SystemExit("--against requires --output")
+        names = args.against.split(",")
+        if len(names) == 1 and is_sharded_artifact(names[0]):
+            out = filter_members(
+                spark, df, keys, names[0], keep_members=args.inverse
+            )
+        elif len(names) == 1 and names[0].endswith(".blf"):
+            # a file written by the actual reference binary: probe by
+            # VALUE with the reference's own hash family (io/blf.py)
+            import pyspark.sql.functions as F
+
+            from bloom_spark.io.blf import blf_membership_udf
+
+            if len(keys) != 1:
+                raise SystemExit(".blf probes take exactly one key column")
+            probe = blf_membership_udf(names[0])
+            marked = df.withColumn("__bs_m", probe(F.col(keys[0])))
+            pred = F.col("__bs_m") if args.inverse else ~F.col("__bs_m")
+            out = marked.where(pred).drop("__bs_m")
+        else:
+            members = [ck.load_sketch(n) for n in names]
+            sketch = members[0] if len(members) == 1 else SketchCascade(members)
+            out = filter_members(spark, df, keys, sketch, keep_members=args.inverse)
         out.write.mode("overwrite").parquet(args.output)
         n_out = spark.read.parquet(args.output).count()
         stats = {"mode": "probe", "rows_out": n_out}
+    elif args.filter_only and args.shards:
+        from bloom_spark.ops.sharded import build_sharded_bloom
+
+        out_dir = os.path.join(args.checkpoint, "sketches", args.sketch_name)
+        manifest = build_sharded_bloom(
+            df, keys, out_dir, n_shards=args.shards,
+            expected_n=args.expected_n, fpr=args.fpr,
+        )
+        stats = {
+            "mode": "filter-only-sharded",
+            "rows_in": sum(e["n_rows"] for e in manifest["shards"]),
+            "n_shards": args.shards,
+            "artifact": out_dir,
+            "total_bytes": sum(e["n_bytes"] for e in manifest["shards"]),
+        }
     else:
         result = ck.build(
             spark, df, keys,
