@@ -45,6 +45,7 @@ KEY_BITS = 20
 SLOT_BITS = 21
 NUM_TRIES = 4
 _FP_MASK = np.uint64((1 << KEY_BITS) - 1)
+_OCC_BIT = np.uint32(1 << KEY_BITS)  # occupied flag in the packed slot
 
 
 @register_sketch
@@ -66,8 +67,13 @@ class XXHFingerprintTable(Sketch):
         self.remap_slots = bool(remap_slots)
         self.limit = int(limit) if limit is not None else None
         self.n_inserted = 0
-        self.occupied = np.zeros(self.num_slots, dtype=bool)
-        self.fp = np.zeros(self.num_slots, dtype=np.uint32)
+        # packed slot array (r3): one uint32 per slot — bit 20 = occupied
+        # flag, bits 0..19 = fingerprint. 4 B/slot (was 5 as separate
+        # bool+uint32 arrays) and ONE gather per probe round instead of
+        # two. The reference packs to 21 bits/slot = 2.625 B (remaining
+        # documented divergence). `occupied`/`fp` stay available as
+        # computed views for interop/tests.
+        self._slots = np.zeros(self.num_slots, dtype=np.uint32)
         # raw hashes of successful inserts, in claim order — the mergeable
         # representation (see module docstring). Probe-only tables (loaded
         # from slot-only payloads) have replayable=False and cannot merge.
@@ -91,6 +97,25 @@ class XXHFingerprintTable(Sketch):
         # (xxh3.xxh3_64_bytes) so files written by the Rust binary probe
         # correctly. Not serialized: the Spark data path feeds hashes.
         self.hash_fn = None
+
+    # -- packed-slot views ------------------------------------------------------
+    @property
+    def occupied(self) -> np.ndarray:
+        return (self._slots & _OCC_BIT) != 0
+
+    @occupied.setter
+    def occupied(self, v) -> None:
+        flags = np.asarray(v, dtype=bool).astype(np.uint32) << np.uint32(KEY_BITS)
+        self._slots = (self._slots & np.uint32((1 << KEY_BITS) - 1)) | flags
+
+    @property
+    def fp(self) -> np.ndarray:
+        return self._slots & np.uint32((1 << KEY_BITS) - 1)
+
+    @fp.setter
+    def fp(self, v) -> None:
+        fps = np.asarray(v, dtype=np.uint32) & np.uint32((1 << KEY_BITS) - 1)
+        self._slots = (self._slots & _OCC_BIT) | fps
 
     # -- probing ---------------------------------------------------------------
     def _base(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -119,8 +144,9 @@ class XXHFingerprintTable(Sketch):
         all_occupied = np.ones(n, dtype=bool)
         for t in range(NUM_TRIES):
             s = (slot + t) % self.num_slots
-            occ = self.occupied[s]
-            found |= occ & (self.fp[s] == fp)
+            slotv = self._slots[s]  # one gather: flag + fp together
+            occ = (slotv & _OCC_BIT) != 0
+            found |= occ & ((slotv & np.uint32((1 << KEY_BITS) - 1)) == fp)
             all_occupied &= occ
         return found | all_occupied
 
@@ -167,15 +193,14 @@ class XXHFingerprintTable(Sketch):
             if len(slot) == 0:
                 break
             s = (slot + t) % self.num_slots
-            free = ~self.occupied[s]
+            free = (self._slots[s] & _OCC_BIT) == 0
             cand = np.flatnonzero(free)
             if len(cand):
                 # one winner per distinct free slot this round; losers retry
                 s_cand = s[cand]
                 _, first = np.unique(s_cand, return_index=True)
                 win = cand[first]
-                self.occupied[s[win]] = True
-                self.fp[s[win]] = fp[win]
+                self._slots[s[win]] = _OCC_BIT | fp[win]
                 self.n_inserted += len(win)
                 lose = np.setdiff1d(cand, win, assume_unique=False)
                 keep = np.concatenate([np.flatnonzero(~free), lose])

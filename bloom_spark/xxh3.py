@@ -16,11 +16,11 @@ length class against ``libxxhash.so`` via ctypes when present.
 
 Shape: one call hashes a batch of variable-length byte strings. Rows
 are bucketed by the spec's length classes (0, 1-3, 4-8, 9-16, 17-128,
-129-240, >240) and each class is processed as flat numpy gathers over
-one concatenated buffer — no per-row Python below 241 bytes. The long
-path vectorizes over each row's 64-byte stripes (the per-block
-accumulator carry is a sum, so a block reduces with two ``sum(axis)``
-calls); long rows are rare in line-dedup workloads.
+129-240, >240) and EVERY class — including the long path — is
+processed as flat numpy gathers over one concatenated buffer, no
+per-row Python anywhere (the long path sorts rows by block count so
+each 1024-byte block iteration is a prefix-sliced tensor reduction —
+see ``_hash_long_batch``).
 """
 
 from __future__ import annotations
@@ -137,49 +137,84 @@ def _mix16(buf: np.ndarray, off: np.ndarray, soff: int) -> np.ndarray:
 
 _H_EMPTY = None  # computed lazily: avalanche64(sec64(56) ^ sec64(64))
 
+# (stripe, lane) byte offsets within one 1024-byte block / one 64-byte stripe
+_BLOCK_OFFS = (
+    np.arange(16, dtype=np.int64)[:, None] * 64 + np.arange(8, dtype=np.int64) * 8
+)
+_LANE_OFFS = np.arange(8, dtype=np.int64) * 8
 
-def _hash_long(b: np.ndarray) -> int:
-    """>240-byte path for ONE value; numpy over its 64-byte stripes.
-    Per 1024-byte block the accumulator update is a plain sum over
-    stripes, so a block reduces with two axis-sums; the inter-block
-    scramble is the only sequential step."""
-    n = len(b)
-    acc = _ACC_INIT.copy()
-    block_len = 1024  # 16 stripes/block at the 192-byte default secret
-    nb_blocks = (n - 1) // block_len
 
-    def accumulate(stripes: np.ndarray, sec: np.ndarray) -> None:
-        # stripes: (s, 8) u64 data; sec: (s, 8) secret words
-        key = stripes ^ sec
-        acc[_SWAP] += stripes.sum(axis=0, dtype=np.uint64)
-        np.add(acc, ((key & _M32) * (key >> _U(32))).sum(axis=0, dtype=np.uint64),
-               out=acc)
+def _gather_words(buf: np.ndarray, base: np.ndarray, nbytes: int) -> np.ndarray:
+    """(k, nbytes//8) little-endian u64 words starting at each byte
+    offset in ``base`` — ONE fancy-index gather of the byte matrix and
+    a free dtype view (the freshly-gathered matrix is contiguous), vs
+    eight shifted gathers through ``_r64``. The win is ~8x fewer index
+    operations on the multi-KB long-path reads."""
+    mat = buf[base[:, None] + np.arange(nbytes, dtype=np.int64)]
+    return mat.view("<u8")
 
-    for blk in range(nb_blocks):
-        data = np.ascontiguousarray(
-            b[blk * block_len : (blk + 1) * block_len]
-        ).view("<u8").reshape(16, 8).astype(np.uint64)
-        accumulate(data, _SEC_STRIPE)
-        acc ^= acc >> _U(47)
-        acc ^= _SEC_SCRAMBLE
-        acc *= _P32_1
-    n_tail = (n - 1) - nb_blocks * block_len
-    nb_stripes = n_tail // 64
-    if nb_stripes:
-        data = np.ascontiguousarray(
-            b[nb_blocks * block_len : nb_blocks * block_len + nb_stripes * 64]
-        ).view("<u8").reshape(nb_stripes, 8).astype(np.uint64)
-        accumulate(data, _SEC_STRIPE[:nb_stripes])
-    last = np.ascontiguousarray(b[n - 64 :]).view("<u8").astype(np.uint64)
-    accumulate(last.reshape(1, 8), _SEC_LAST.reshape(1, 8))
 
-    result = np.array([n], dtype=np.uint64) * _P64_1
-    for i in range(4):
-        result += _mul128_fold64(
-            acc[2 * i : 2 * i + 1] ^ _sec64(11 + 16 * i),
-            acc[2 * i + 1 : 2 * i + 2] ^ _sec64(11 + 16 * i + 8),
-        )
-    return int(_avalanche3(result)[0])
+def _hash_long_batch(
+    buf: np.ndarray, offs: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """>240-byte path, vectorized ACROSS rows (web pages are mostly in
+    this class — the per-row variant measured ~5k rows/s vs ~500k for
+    the short classes). Per-row state is the 8-lane accumulator matrix
+    (n, 8); rows are sorted by block count so each block iteration
+    processes a prefix; a block's accumulator update is a plain sum
+    over its 16 stripes (two axis-sums on an (n, 16, 8) gather); the
+    inter-block scramble is the only sequential step. Rows are chunked
+    to bound the gather tensor at ~32 MB."""
+    n = len(offs)
+    out = np.empty(n, dtype=np.uint64)
+    CH = 4096
+    for c0 in range(0, n, CH):
+        o_c, l_c = offs[c0 : c0 + CH], lens[c0 : c0 + CH]
+        m = len(o_c)
+        nb = (l_c - 1) // 1024
+        order = np.argsort(-nb, kind="stable")
+        o_s, l_s, nb_s = o_c[order], l_c[order], nb[order]
+        accs = np.tile(_ACC_INIT, (m, 1))
+
+        for b in range(int(nb_s[0]) if m else 0):
+            cnt = int(np.searchsorted(-nb_s, -b, side="left"))
+            data = _gather_words(buf, o_s[:cnt] + b * 1024, 1024).reshape(cnt, 16, 8)
+            key = data ^ _SEC_STRIPE
+            accs[:cnt, _SWAP] += data.sum(axis=1, dtype=np.uint64)
+            accs[:cnt] += ((key & _M32) * (key >> _U(32))).sum(
+                axis=1, dtype=np.uint64
+            )
+            a = accs[:cnt]
+            a ^= a >> _U(47)
+            a ^= _SEC_SCRAMBLE
+            a *= _P32_1
+
+        tail_base = o_s + nb_s * 1024
+        n_stripes = ((l_s - 1) - nb_s * 1024) // 64
+        for t in range(15):
+            idx = np.flatnonzero(n_stripes > t)
+            if not len(idx):
+                break
+            data = _gather_words(buf, tail_base[idx] + t * 64, 64)
+            key = data ^ _SEC_STRIPE[t]
+            accs[np.ix_(idx, _SWAP)] += data
+            accs[idx] += (key & _M32) * (key >> _U(32))
+
+        data = _gather_words(buf, o_s + l_s - 64, 64)
+        key = data ^ _SEC_LAST
+        accs[:, _SWAP] += data
+        accs += (key & _M32) * (key >> _U(32))
+
+        res = l_s.astype(np.uint64) * _P64_1
+        for i in range(4):
+            res += _mul128_fold64(
+                accs[:, 2 * i] ^ _sec64(11 + 16 * i),
+                accs[:, 2 * i + 1] ^ _sec64(11 + 16 * i + 8),
+            )
+        chunk_out = np.empty(m, dtype=np.uint64)
+        chunk_out[order] = _avalanche3(res)
+        out[c0 : c0 + CH] = chunk_out
+    return out
 
 
 def xxh3_64_bytes(values: "list[bytes] | np.ndarray | pd.Series") -> np.ndarray:
@@ -273,7 +308,7 @@ def xxh3_64_bytes(values: "list[bytes] | np.ndarray | pd.Series") -> np.ndarray:
         out[sel] = _avalanche3(acc)
 
     sel = np.flatnonzero(lens > 240)
-    for i in sel:
-        out[i] = _hash_long(buf[offs[i] : offs[i] + lens[i]])
+    if len(sel):
+        out[sel] = _hash_long_batch(buf, offs[sel], lens[sel])
 
     return out
