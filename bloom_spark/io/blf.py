@@ -113,6 +113,11 @@ def read_blf(path: str, k_num: int | str = "derived"):
             k = int(k_num)
         filt = ReferenceBloom.from_payload(payload, k)
         filt.n_inserted = int(hdr["num_writes"])
+        # preserve the construction limit so a read→write round trip
+        # keeps the header's limit (and thus the derived k) stable — a
+        # partially-filled filter re-written with limit=n_inserted would
+        # re-derive a wildly wrong k on the next read (r3 review)
+        filt.items_count = int(hdr["limit"]) or None
         return filt
     if ct != CT_XXH_LIMIT_AND_SIZE:
         raise ValueError(f"unknown construction type {ct}")
@@ -157,12 +162,21 @@ def reference_xxh_table(
     return t
 
 
-def write_blf(path: str, table) -> None:
+def write_blf(path: str, table, allow_foreign_hash: bool = False) -> None:
     """Write a filter in the reference's exact file layout (≙ ``save``,
     container.rs:53-88). Accepts an :class:`XXHFingerprintTable`
     (type 2, container_memory_xxh.rs:199-203) or a
     :class:`~bloom_spark.io.blf_bloom.ReferenceBloom` (type 0,
-    sip keys + bitmap payload, container_memory_bloom.rs:76-90)."""
+    sip keys + bitmap payload, container_memory_bloom.rs:76-90).
+
+    The ``.blf`` layout carries NO hash-family tag: a type-2 file is
+    only meaningful if its slots were placed by the reference pipeline
+    (xxh3_64 values + f64-remap indexing — ``reference_xxh_table``).
+    Writing a native-family table would produce a file that BOTH the
+    Rust binary and ``read_blf`` (which installs xxh3 on load) silently
+    mis-probe — near-total false negatives (r3 review) — so it is
+    refused unless ``allow_foreign_hash=True`` (then the caller owns
+    re-attaching the right ``hash_fn`` after ``read_blf``)."""
     from bloom_spark.io.blf_bloom import ReferenceBloom
 
     if isinstance(table, ReferenceBloom):
@@ -179,6 +193,18 @@ def write_blf(path: str, table) -> None:
             f.write(header.ljust(HEADER_LEN, b"\0"))
             f.write(table.to_payload())
         return
+    from bloom_spark.xxh3 import xxh3_64_bytes
+
+    if not allow_foreign_hash and (
+        table.hash_fn is not xxh3_64_bytes or not table.remap_slots
+    ):
+        raise ValueError(
+            "refusing to write a .blf from a table not built with the "
+            "reference hash pipeline (xxh3_64 + remap slots): the file "
+            "format has no hash-family tag, so it would silently "
+            "mis-probe everywhere. Build via reference_xxh_table(), or "
+            "pass allow_foreign_hash=True and manage hash_fn yourself."
+        )
     header = _HEAD.pack(MAGIC) + _FIELDS.pack(
         CT_XXH_LIMIT_AND_SIZE,
         table.size_bytes,
@@ -202,6 +228,23 @@ def write_blf(path: str, table) -> None:
 _BLF_WORKER_CACHE: dict = {}
 
 
+def _blf_cached(path: str):
+    """Per-worker filter cache keyed by (path, mtime, size) so a file
+    REWRITTEN at the same path in a long session is re-read instead of
+    probed stale (r3 review); superseded versions are evicted."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    filt = _BLF_WORKER_CACHE.get(key)
+    if filt is None:
+        for k in [k for k in _BLF_WORKER_CACHE if k[0] == path]:
+            del _BLF_WORKER_CACHE[k]
+        filt = read_blf(path)
+        _BLF_WORKER_CACHE[key] = filt
+    return filt
+
+
 def blf_membership_udf(path: str):
     """A pandas UDF ``(value: string) -> bool`` probing a reference
     ``.blf`` file — the Spark-side migration path for artifacts written
@@ -219,10 +262,15 @@ def blf_membership_udf(path: str):
 
     @F.pandas_udf("boolean")
     def probe(values: pd.Series) -> pd.Series:
-        filt = _BLF_WORKER_CACHE.get(path)
-        if filt is None:
-            filt = read_blf(path)
-            _BLF_WORKER_CACHE[path] = filt
-        return pd.Series(np.asarray(filt.contains(values), dtype=bool))
+        filt = _blf_cached(path)
+        # NULL keys are never members (the reference has no NULL concept
+        # — its record is a line; an anti-filter therefore emits them,
+        # matching the invalid-row passthrough posture). Hashing them
+        # would crash the worker (r3 review).
+        mask = values.notna().to_numpy()
+        out = np.zeros(len(values), dtype=bool)
+        if mask.any():
+            out[mask] = np.asarray(filt.contains(values[mask]), dtype=bool)
+        return pd.Series(out)
 
     return probe

@@ -58,10 +58,20 @@ def _streams(values) -> list:
     """Rust ``Hash for String``: utf-8 bytes then a 0xff terminator."""
     if isinstance(values, pd.Series):
         values = values.to_numpy()
-    return [
-        (v.encode("utf-8") if isinstance(v, str) else bytes(v)) + b"\xff"
-        for v in values
-    ]
+    out = []
+    for v in values:
+        if isinstance(v, str):
+            out.append(v.encode("utf-8") + b"\xff")
+        elif isinstance(v, (bytes, bytearray, memoryview)):
+            out.append(bytes(v) + b"\xff")
+        else:
+            # bytes(int) = N zero bytes (silent collisions), bytes(None)
+            # = crash — reject loudly (r3 review)
+            raise TypeError(
+                f"ReferenceBloom hashes str/bytes values, got {type(v).__name__}"
+                " — cast the key column to string (and filter NULLs) first"
+            )
+    return out
 
 
 class ReferenceBloom:

@@ -218,7 +218,17 @@ def build_sketch(
 
 # ----------------------------------------------------------------- broadcast probe
 
-_WORKER_SKETCH_CACHE: dict[str, Sketch] = {}
+_WORKER_SKETCH_CACHE: dict = {}
+
+
+def _cache_put(cache: dict, key, value, cap: int = 8) -> None:
+    """Insert with FIFO eviction: per-call broadcast tokens are fresh
+    keys no later call can hit, so an unbounded dict would leak one
+    deserialized sketch per probe-UDF construction in every worker for
+    the session's lifetime (r3 review)."""
+    cache[key] = value
+    while len(cache) > cap:
+        cache.pop(next(iter(cache)))
 
 
 def membership_udf(spark: SparkSession, sketch: Sketch):
@@ -236,7 +246,7 @@ def membership_udf(spark: SparkSession, sketch: Sketch):
         s = _WORKER_SKETCH_CACHE.get(token)
         if s is None:
             s = sketch_from_bytes(blob_bc.value)
-            _WORKER_SKETCH_CACHE[token] = s
+            _cache_put(_WORKER_SKETCH_CACHE, token, s)
         res = s.contains_hashes(to_uint64(h1), to_uint64(h2))
         return pd.Series(res)
 
@@ -259,11 +269,22 @@ def membership_udf_from_path(path: str):
 
     @F.pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
-        s = _WORKER_SKETCH_CACHE.get(path)
+        import os
+
+        # key by (path, mtime, size): a filter REWRITTEN at the same
+        # path in a long session must be re-mapped, not probed stale
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+        s = _WORKER_SKETCH_CACHE.get(key)
         if s is None:
+            for k in [
+                k for k in _WORKER_SKETCH_CACHE
+                if isinstance(k, tuple) and k[0] == path
+            ]:
+                del _WORKER_SKETCH_CACHE[k]
             buf = np.memmap(path, dtype=np.uint8, mode="r")
             s = sketch_from_bytes(buf)
-            _WORKER_SKETCH_CACHE[path] = s
+            _cache_put(_WORKER_SKETCH_CACHE, key, s)
         res = s.contains_hashes(to_uint64(h1), to_uint64(h2))
         return pd.Series(res)
 

@@ -131,9 +131,12 @@ class SketchCascade(Sketch):
         inserted — the README ``-l 9`` contract (uniques keep flowing).
 
         Duplicate keys WITHIN the batch after the first occurrence are
-        reported present and not re-inserted (the reference's per-line
-        loop sees the first copy's insert before probing the second;
-        re-inserting would also double-consume member capacity)."""
+        reported present IFF the key is in the cascade by then —
+        previously present, or the first copy actually inserted into
+        some member. With every member full, ALL copies of an absent
+        key report unseen and flow through, exactly the reference's
+        per-line loop degraded to check() (README -l 9); duplicates are
+        never re-inserted (that would double-consume member capacity)."""
         n = len(h1)
         if n == 0:
             return np.zeros(0, dtype=bool)
@@ -146,14 +149,15 @@ class SketchCascade(Sketch):
             _, first_idx, inverse = np.unique(
                 pair, axis=0, return_index=True, return_inverse=True
             )
+        inverse = np.asarray(inverse).ravel()
         is_first = np.zeros(n, dtype=bool)
         is_first[first_idx] = True
         found_unique = self.contains_hashes(
             h1[first_idx], None if h2 is None else h2[first_idx]
         )
-        found = found_unique[np.asarray(inverse).ravel()] | ~is_first
-        pending = np.flatnonzero(is_first & ~found)
+        pending = np.flatnonzero(is_first & ~found_unique[inverse])
         n_pending = len(pending)
+        inserted = np.zeros(n, dtype=bool)
         for m in self.members:
             if len(pending) == 0:
                 break
@@ -165,6 +169,11 @@ class SketchCascade(Sketch):
             take, pending = pending[:room], pending[room:]
             if len(take):
                 m.update_hashes(h1[take], None if h2 is None else h2[take])
+                inserted[take] = True
+        inserted_unique = np.zeros(len(found_unique), dtype=bool)
+        inserted_unique[inverse[inserted]] = True
+        present_after = found_unique | inserted_unique
+        found = np.where(is_first, found_unique[inverse], present_after[inverse])
         if len(pending):
             # ≙ the reference's per-line warnings, silenceable via -sw
             # (session.silence_warnings)
@@ -259,9 +268,15 @@ def trace_members(spark, df, cols: list[str], cascade: "SketchCascade"):
         from bloom_spark.hashing import to_uint64
         from bloom_spark.sketch.base import sketch_from_bytes as sfb
 
+        from bloom_spark.ops.build import _cache_put
+
         c = _TRACE_CACHE.get(token)
         if c is None:
-            c = _TRACE_CACHE[token] = sfb(blob_bc.value)
+            c = sfb(blob_bc.value)
+            # bounded FIFO: tokens are per-call — an unbounded dict
+            # would leak one full cascade per trace_members call in
+            # every worker (r3 review)
+            _cache_put(_TRACE_CACHE, token, c, cap=4)
         n = len(h1)
         h1v, h2v = to_uint64(h1), to_uint64(h2)
         cont = np.full(n, -1, dtype=np.int32)

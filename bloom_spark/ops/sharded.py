@@ -129,30 +129,43 @@ def sharded_membership_udf(out_dir: str):
     with open(os.path.join(out_dir, MANIFEST)) as f:
         n_shards = int(json.load(f)["n_shards"])
 
+    def _shard_cached(s: int):
+        """Keyed by (dir, shard, mtime, size): a shard REWRITTEN at the
+        same path (artifact rebuilt in the same session) is re-mapped
+        instead of probed stale, and a shard that was absent earlier is
+        re-checked with a plain stat each batch — never cached as
+        permanently absent (r3 review)."""
+        path = shard_path(out_dir, s)
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return None  # no keys ever routed here → nothing is a member
+        key = (out_dir, s, st.st_mtime_ns, st.st_size)
+        sk = _WORKER_SHARD_CACHE.get(key)
+        if sk is None:
+            for k in [k for k in _WORKER_SHARD_CACHE if k[:2] == (out_dir, s)]:
+                del _WORKER_SHARD_CACHE[k]
+            buf = np.memmap(path, dtype=np.uint8, mode="r")
+            sk = sketch_from_bytes(buf)
+            _WORKER_SHARD_CACHE[key] = sk
+        return sk
+
     @F.pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        n = len(h1)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:  # empty Arrow batch: np.split would yield one empty
+            return pd.Series(out)  # segment and seg[0] would raise
         h1v = h1.to_numpy(dtype=np.int64)
         h2v = to_uint64(h2)
         shards = h1v % n_shards  # == pmod: numpy int64 % positive ≥ 0
-        out = np.zeros(len(h1v), dtype=bool)
         order = np.argsort(shards, kind="stable")
         sorted_shards = shards[order]
         bounds = np.flatnonzero(np.diff(sorted_shards)) + 1
         for seg in np.split(order, bounds):
-            s = int(shards[seg[0]])
-            key = (out_dir, s)
-            sk = _WORKER_SHARD_CACHE.get(key)
-            if sk is None:
-                path = shard_path(out_dir, s)
-                if not os.path.exists(path):
-                    _WORKER_SHARD_CACHE[key] = "absent"
-                    continue
-                buf = np.memmap(path, dtype=np.uint8, mode="r")
-                sk = sketch_from_bytes(buf)
-                _WORKER_SHARD_CACHE[key] = sk
-            if sk == "absent":
-                continue
-            out[seg] = sk.contains_hashes(to_uint64(h1v[seg]), h2v[seg])
+            sk = _shard_cached(int(shards[seg[0]]))
+            if sk is not None:
+                out[seg] = sk.contains_hashes(to_uint64(h1v[seg]), h2v[seg])
         return pd.Series(out)
 
     return probe

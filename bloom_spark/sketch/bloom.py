@@ -187,10 +187,14 @@ class BloomSketch(Sketch):
 
         Returns "was already present" per element. Within the batch,
         duplicate (h1,h2) pairs after the first are reported present
-        *exactly* (no within-batch false positives — a strict improvement
-        over sequential probing, documented divergence). Honors the write
-        cap: once full, no more inserts, probes continue
-        (process.rs:107-130 semantics).
+        IFF the key is actually in the filter by then — previously
+        present, or the first copy really inserted. A first copy whose
+        insert was dropped by the write cap leaves its duplicates
+        reported UNSEEN, exactly like the reference's per-line loop
+        (full filter → check() only → every copy of an absent key is
+        emitted; process.rs:107-130 + README -l 9). No within-batch
+        false positives — a strict improvement over sequential
+        probing, documented divergence.
         """
         n = len(h1)
         if n == 0:
@@ -199,17 +203,23 @@ class BloomSketch(Sketch):
         _, first_idx, inverse = np.unique(
             pair, axis=0, return_index=True, return_inverse=True
         )
+        inverse = np.asarray(inverse).ravel()
         is_first = np.zeros(n, dtype=bool)
         is_first[first_idx] = True
         found_unique = self.contains_hashes(h1[first_idx], h2[first_idx])
-        found = found_unique[inverse.ravel()] | ~is_first
-        to_insert = is_first & ~found
+        to_insert = is_first & ~found_unique[inverse]
         if self.limit is not None:
             room = max(0, self.limit - self.n_inserted)
             if room < int(to_insert.sum()):
                 keep = np.flatnonzero(to_insert)[:room]
                 to_insert = np.zeros(n, dtype=bool)
                 to_insert[keep] = True
+        # a key is present for NON-first copies iff it was already in the
+        # filter or its first copy's insert actually happened
+        inserted_unique = np.zeros(len(found_unique), dtype=bool)
+        inserted_unique[inverse[to_insert]] = True
+        present_after = found_unique | inserted_unique
+        found = np.where(is_first, found_unique[inverse], present_after[inverse])
         if to_insert.any():
             self.update_hashes(h1[to_insert], h2[to_insert])
         return found

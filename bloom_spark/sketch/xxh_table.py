@@ -231,22 +231,30 @@ class XXHFingerprintTable(Sketch):
         accepted for the uniform (h1, h2) probe signature and ignored.
 
         Mirrors BloomSketch: duplicate hashes WITHIN the batch after the
-        first occurrence are reported present (the reference's per-line
-        loop would see the first copy's insert before probing the
-        second); the table is probed once for the batch's distinct
-        hashes."""
+        first occurrence are reported present IFF the key is actually in
+        the table by then — previously present, or the first copy's
+        insert really attempted (not suppressed by the write cap). A
+        full table degrades to pure ``check``: every copy of an absent
+        key reports unseen, like the reference's per-line loop
+        (process.rs:107-130); the table is probed once for the batch's
+        distinct hashes."""
         n = len(h)
         if n == 0:
             return np.zeros(0, dtype=bool)
         hu = to_uint64(h)
         _, first_idx, inverse = np.unique(hu, return_index=True, return_inverse=True)
+        inverse = np.asarray(inverse).ravel()
         is_first = np.zeros(n, dtype=bool)
         is_first[first_idx] = True
         found_unique = self.contains_hashes(hu[first_idx])
-        found = found_unique[inverse.ravel()] | ~is_first
         if self.limit is not None and self.n_inserted >= self.limit:
-            return found
-        todo = is_first & ~found
+            # no inserts happen: duplicates of an absent key stay unseen
+            return found_unique[inverse]
+        todo = is_first & ~found_unique[inverse]
+        # below the cap every unseen first copy is ATTEMPTED (a
+        # saturation-dropped key still answers True via its occupied
+        # window), so every non-first copy is present by then
+        found = np.where(is_first, found_unique[inverse], True)
         if todo.any():
             self.update_hashes(hu[todo])
         return found

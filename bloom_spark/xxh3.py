@@ -225,9 +225,21 @@ def xxh3_64_bytes(values: "list[bytes] | np.ndarray | pd.Series") -> np.ndarray:
     """
     if isinstance(values, pd.Series):
         values = values.to_numpy()
-    bs = [
-        v.encode("utf-8") if isinstance(v, str) else bytes(v) for v in values
-    ]
+    bs = []
+    for v in values:
+        if isinstance(v, str):
+            bs.append(v.encode("utf-8"))
+        elif isinstance(v, (bytes, bytearray, memoryview)):
+            bs.append(bytes(v))
+        else:
+            # bytes(int) would silently hash N ZERO bytes (every int of
+            # one byte-length collides) and bytes(None) would crash the
+            # worker mid-batch — reject loudly instead (r3 review);
+            # callers mask nulls and cast keys to string/binary first
+            raise TypeError(
+                f"xxh3_64_bytes hashes str/bytes values, got {type(v).__name__}"
+                " — cast the key column to string (and filter NULLs) first"
+            )
     n = len(bs)
     out = np.zeros(n, dtype=np.uint64)
     if n == 0:

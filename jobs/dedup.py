@@ -81,6 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         "(ops.sharded — no driver-side fold or single-file write)",
     )
     args = ap.parse_args(argv)
+    if args.shards and not args.filter_only:
+        # silently running the mono pipeline would re-introduce the very
+        # driver fold/materialization --shards exists to avoid
+        ap.error("--shards requires --filter-only (sharded ARTIFACT build)")
 
     from pyspark.sql import SparkSession
 

@@ -119,6 +119,24 @@ class TestCascade:
         assert seen_x.tolist() == [False, False, True, True, False, True]
         assert cx.n_inserted == 3
 
+    def test_full_cascade_duplicates_all_flow(self):
+        """r3 review: with every member full nothing is inserted, so BOTH
+        copies of an absent key must report unseen (the reference's loop
+        degrades to check() — it would emit both); reporting the second
+        copy present silently dropped rows."""
+        c = SketchCascade([BloomSketch.from_fpr(64, 1e-9, limit=1)])
+        c.check_and_set_hashes(*hash_series_pair(_strings("seed", 1)))
+        assert c.is_full()
+        h1, h2 = hash_series_pair(pd.Series(["k", "k", "j", "k"]))
+        seen = c.check_and_set_hashes(h1, h2)
+        assert seen.tolist() == [False, False, False, False]
+        # partial room: first unseen key inserted, its dup found; the
+        # overflow key (no member left) and its dup stay unseen
+        c2 = SketchCascade([BloomSketch.from_fpr(64, 1e-9, limit=1)])
+        g1, g2 = hash_series_pair(pd.Series(["a", "b", "a", "b"]))
+        seen2 = c2.check_and_set_hashes(g1, g2)
+        assert seen2.tolist() == [False, False, True, False]
+
     def test_all_full_uniques_still_flow(self, caplog):
         c = SketchCascade([BloomSketch.from_fpr(64, 1e-9, limit=4)])
         h1, h2 = hash_series_pair(_strings("a", 4))

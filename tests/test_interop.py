@@ -136,6 +136,79 @@ class TestReferenceBloomInterop:
         assert out.tolist() == [False, False, True]
 
 
+class TestR3ReviewRegressions:
+    def test_bloom_blf_rewrite_keeps_k(self, tmp_path):
+        """r3 review: read→write of a PARTIALLY-filled Bloom .blf must
+        preserve the header limit; writing n_inserted as limit made the
+        next read derive a wildly wrong k (20→997) and lose every
+        member."""
+        from bloom_spark.io.blf import read_blf, write_blf
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new_for_fp_rate(100_000, 1e-6)
+        vals = pd.Series([f"v{i}" for i in range(2000)])  # partial fill
+        f.set(vals)
+        p1, p2 = str(tmp_path / "a.blf"), str(tmp_path / "b.blf")
+        write_blf(p1, f)
+        back = read_blf(p1)
+        write_blf(p2, back)  # round trip through a read filter
+        again = read_blf(p2)
+        assert again.k_num == f.k_num
+        assert again.contains(vals).all()
+
+    def test_write_blf_refuses_native_hash_family(self, tmp_path):
+        """r3 review: the layout has no hash-family tag — a native-hash
+        table written to .blf silently mis-probes everywhere (binary
+        AND read_blf). Must refuse unless explicitly overridden."""
+        from bloom_spark.io.blf import write_blf
+        from bloom_spark.sketch import XXHFingerprintTable
+
+        t = XXHFingerprintTable("32Kb", remap_slots=True)  # native hash_fn
+        t.update(pd.Series(["a", "b"]))
+        with pytest.raises(ValueError, match="hash-family|reference hash"):
+            write_blf(str(tmp_path / "x.blf"), t)
+        write_blf(str(tmp_path / "x.blf"), t, allow_foreign_hash=True)
+
+    def test_hashers_reject_non_string_keys(self):
+        """r3 review: bytes(int) = N zero bytes → silent per-length
+        collisions; bytes(None) → worker crash. Reject loudly."""
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        with pytest.raises(TypeError, match="cast the key column"):
+            xxh3_64_bytes([5])
+        f = ReferenceBloom.new(1024, 10)
+        with pytest.raises(TypeError, match="cast the key column"):
+            f.contains(pd.Series([None]))
+
+    def test_blf_probe_null_keys_are_not_members(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from bloom_spark.io.blf import blf_membership_udf, reference_xxh_table, write_blf
+
+        t = reference_xxh_table("32Kb", limit=1000)
+        t.update(pd.Series(["hit"]))
+        path = str(tmp_path / "n.blf")
+        write_blf(path, t)
+        df = spark.createDataFrame(
+            [("hit",), (None,), ("miss",)], "text string"
+        )
+        probe = blf_membership_udf(path)
+        got = {
+            r["text"]: r["m"]
+            for r in df.withColumn("m", probe(F.col("text"))).collect()
+        }
+        assert got == {"hit": True, None: False, "miss": False}
+
+    def test_worker_cache_put_is_bounded(self):
+        from bloom_spark.ops.build import _cache_put
+
+        cache: dict = {}
+        for i in range(50):
+            _cache_put(cache, f"tok{i}", i, cap=8)
+        assert len(cache) == 8
+        assert "tok49" in cache and "tok0" not in cache
+
+
 class TestBlfSparkProbe:
     def test_blf_membership_udf_anti_join(self, spark, tmp_path):
         """Spark-side migration probe of a reference-layout file built

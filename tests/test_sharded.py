@@ -97,6 +97,26 @@ class TestShardedFilter:
         assert out.count() == 500  # nothing falsely found
         assert dedup_against_filter(spark, df, ["text"], out_dir).count() == 0
 
+    def test_rebuilt_artifact_not_probed_stale(self, spark, tmp_path):
+        """r3 review: worker caches keyed by path alone served the OLD
+        mmap after an in-session rebuild at the same path, and shards
+        once seen absent stayed absent forever."""
+        out_dir = str(tmp_path / "art")
+        a = spark.createDataFrame([(i, f"a{i}") for i in range(50)], "id long, text string")
+        b = spark.createDataFrame([(i, f"b{i}") for i in range(50)], "id long, text string")
+        build_sharded_bloom(a, ["text"], out_dir, n_shards=4,
+                            expected_n=100, fpr=1e-9)
+        assert dedup_against_filter(spark, a, ["text"], out_dir).count() == 0
+        assert dedup_against_filter(spark, b, ["text"], out_dir).count() == 50
+        # rebuild at the SAME path with the other key set
+        import shutil
+
+        shutil.rmtree(out_dir)
+        build_sharded_bloom(b, ["text"], out_dir, n_shards=4,
+                            expected_n=100, fpr=1e-9)
+        assert dedup_against_filter(spark, b, ["text"], out_dir).count() == 0
+        assert dedup_against_filter(spark, a, ["text"], out_dir).count() == 50
+
     def test_shard_routing_consistent(self, spark, artifact):
         """The probe's numpy pmod must equal the build's JVM pmod: every
         member key must hit ITS shard (a routing skew would show up as

@@ -72,6 +72,15 @@ class TestBloom:
         # the 5 stored are found; the 5 dropped are not
         assert s.contains(_strings("x", 5)).all()
 
+    def test_capped_first_copy_leaves_duplicates_unseen(self):
+        """r3 review: a first copy dropped by the write cap was never
+        inserted, so its within-batch duplicates must report unseen too
+        (the reference's full filter emits every copy of an absent key)."""
+        b = BloomSketch.from_fpr(100, 1e-9, limit=1)
+        seen = b.check_and_set(pd.Series(["a", "b", "a", "b"]))
+        # room for one insert: "a" inserted (dup found); "b" capped out
+        assert seen.tolist() == [False, False, True, False]
+
     def test_merge_or_and_roundtrip(self):
         a = BloomSketch.from_fpr(2_000, 0.01)
         b = BloomSketch.from_fpr(2_000, 0.01)
@@ -334,6 +343,16 @@ class TestXXHTable:
         assert out.tolist() == [False, False, True, True, True, False]
         # and the duplicates consumed no extra slots
         assert t.n_inserted == 3
+
+    def test_full_table_duplicates_stay_unseen(self):
+        """r3 review: at the write cap the table degrades to pure check —
+        duplicates of an absent key must ALL report unseen (nothing was
+        inserted), not be masked present by the intra-batch dedup."""
+        t = XXHFingerprintTable(size_bytes=64 * 1024, limit=1)
+        t.update(pd.Series(["seed"]))
+        assert t.is_full()
+        out = t.check_and_set(pd.Series(["k", "k", "seed"]))
+        assert out.tolist() == [False, False, True]
 
     def test_dedup_no_false_negatives_when_roomy(self):
         t = XXHFingerprintTable(size_bytes=1 << 20)
