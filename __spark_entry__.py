@@ -676,7 +676,8 @@ def q_simhash_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" zebra")).alias("text"),
     )
     corpus = docs.unionByName(perturbed)
-    pairs = simhash_pairs(corpus, "doc_id", "text", max_hamming=8, bands=4)
+    pairs = simhash_pairs(corpus, "doc_id", "text", max_hamming=8, bands=4,
+                          strict=False)  # best-effort recall, rate-checked
     hits = pairs.where(
         (F.col("id_b") - F.col("id_a")) == 1_000_000
     ).select(F.col("id_a").alias("doc_id"))

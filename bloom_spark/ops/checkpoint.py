@@ -83,6 +83,29 @@ class SketchCheckpoint:
             os.fsync(f.fileno())
         os.replace(tmp, self._manifest_path)
 
+    def _manifest_lock(self):
+        """Advisory exclusive lock serializing manifest READ-MODIFY-WRITE
+        cycles: each individual commit is atomic (replace), but two
+        concurrent runs under one root could interleave read→write and
+        erase each other's committed units (r3 review — e.g. a streaming
+        _commit overlapping a batch build double-folds a batch on
+        replay). flock works on local FS and NFSv4; object stores need an
+        external coordinator (documented limitation)."""
+        import contextlib
+        import fcntl
+
+        @contextlib.contextmanager
+        def held():
+            lock_path = os.path.join(self.root, ".manifest.lock")
+            with open(lock_path, "w") as lf:
+                fcntl.flock(lf.fileno(), fcntl.LOCK_EX)
+                try:
+                    yield
+                finally:
+                    fcntl.flock(lf.fileno(), fcntl.LOCK_UN)
+
+        return held()
+
     def committed_units(self, run_id: str) -> set[int]:
         run = self._read_manifest()["runs"].get(run_id)
         return set(run["units"]) if run else set()
@@ -119,17 +142,34 @@ class SketchCheckpoint:
         unit_col = unit_col or (cols[0] if cols else value_col)
         if unit_col is None:
             raise ValueError("need unit_col, cols, or value_col to slice units")
-        # resuming with different slicing would silently double-count or
-        # miss rows across units — refuse instead (round-1 advice)
+        # resuming with different slicing OR different build inputs would
+        # silently merge segments keyed/valued differently into one wrong
+        # sketch — refuse instead (round-1 advice; key/value/factory
+        # params added after the r3 review)
+        probe = factory()
+        factory_desc = {"kind": probe.KIND, **probe.params()}
+        # drop counters that legitimately differ between an empty probe
+        # and a resumed run
+        for volatile in ("n_inserted", "n", "rng_counter", "dense",
+                         "n_centroids", "level_sizes", "fmt"):
+            factory_desc.pop(volatile, None)
+        build_desc = {
+            "n_units": n_units,
+            "unit_col": unit_col,
+            "cols": list(cols),
+            "value_col": value_col,
+            "factory": factory_desc,
+        }
         info = self.run_info(run_id)
-        if info is not None and (
-            info.get("n_units") != n_units or info.get("unit_col") != unit_col
-        ):
-            raise ValueError(
-                f"run {run_id!r} was started with n_units="
-                f"{info.get('n_units')}, unit_col={info.get('unit_col')!r}; "
-                f"cannot resume with n_units={n_units}, unit_col={unit_col!r}"
-            )
+        if info is not None:
+            for key, want in build_desc.items():
+                have = info.get(key)
+                if have is not None and have != want:
+                    raise ValueError(
+                        f"run {run_id!r} was started with {key}={have!r}; "
+                        f"cannot resume with {key}={want!r} — the merged "
+                        "sketch would silently mix incompatible segments"
+                    )
         sliced = df.withColumn(
             UNIT_COL, F.pmod(F.xxhash64(F.col(unit_col), F.lit("unit")), F.lit(n_units))
         )
@@ -142,13 +182,12 @@ class SketchCheckpoint:
             segs = _segments_with_lineage(unit_df, cols, factory, value_col, unit)
             # idempotent on retry: a re-run of an uncommitted unit overwrites
             segs.write.mode("overwrite").parquet(self._unit_dir(run_id, unit))
-            manifest = self._read_manifest()
-            run = manifest["runs"].setdefault(
-                run_id, {"units": [], "n_units": n_units, "unit_col": unit_col}
-            )
-            if unit not in run["units"]:
-                run["units"] = sorted(run["units"] + [unit])
-            self._commit_manifest(manifest)
+            with self._manifest_lock():
+                manifest = self._read_manifest()
+                run = manifest["runs"].setdefault(run_id, {"units": [], **build_desc})
+                if unit not in run["units"]:
+                    run["units"] = sorted(run["units"] + [unit])
+                self._commit_manifest(manifest)
             done.add(unit)
 
         if len(done) < n_units:

@@ -101,6 +101,28 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def cap_buckets(
+    df: DataFrame, keys: list[str], max_bucket: int | None, min_size: int = 1
+) -> DataFrame:
+    """Skew guard shared by every LSH-bucketing path: keep only rows
+    whose bucket (the ``keys`` tuple) has between ``min_size`` and
+    ``max_bucket`` rows, WITHOUT ever materializing a bucket's row list
+    — count + semi-join, both map-side-partial shapes. A boilerplate
+    bucket shared by 10M docs costs one counter here, never a 10M-element
+    aggregation buffer (r3 review: the old minhash path collect_list'd
+    the mega-bucket before filtering it out)."""
+    cond = F.col("__bs_bn") >= min_size
+    if max_bucket is not None:
+        cond = cond & (F.col("__bs_bn") <= max_bucket)
+    ok = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("__bs_bn"))
+        .where(cond)
+        .select(*keys)
+    )
+    return df.join(ok, keys, "left_semi")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -114,8 +136,12 @@ def minhash_lsh_candidates(
     """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash.
 
     ``max_bucket`` drops pathological buckets (e.g. empty-page boilerplate
-    hashing identically across millions of docs) before the quadratic
-    within-bucket pairing — the skew guard that matters at corpus scale.
+    hashing identically across millions of docs) BEFORE any bucket's ids
+    are materialized (``cap_buckets``: count + semi-join — the r3 review
+    caught the old shape building the mega-bucket's collect_list array
+    first and filtering after, an executor OOM at exactly the scale the
+    guard exists for); only surviving ≤max_bucket buckets are collected
+    for the quadratic within-bucket pairing.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -127,9 +153,9 @@ def minhash_lsh_candidates(
         F.col(id_col),
         F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
-    small = keys.groupBy("band", "key").agg(
-        F.collect_list(id_col).alias("ids")
-    ).where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    small = cap_buckets(keys, ["band", "key"], max_bucket, min_size=2).groupBy(
+        "band", "key"
+    ).agg(F.collect_list(id_col).alias("ids"))
     pairs = small.select(
         F.explode(
             F.filter(
@@ -252,6 +278,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int = 256,
+    strict: bool = True,
 ) -> DataFrame:
     """Near-dup removal by SimHash distance: drop every doc within
     Hamming distance ``max_hamming`` of a lower-id doc (first-wins, the
@@ -261,6 +288,7 @@ def simhash_dedup(
     pairs = simhash_pairs(
         df, id_col, text_col,
         max_hamming=max_hamming, bands=bands, max_bucket=max_bucket,
+        strict=strict,
     )
     to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, id_col, "left_anti")
@@ -326,6 +354,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     max_bucket: int = 256,
+    strict: bool = True,
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with SimHash Hamming distance ≤
     ``max_hamming``. Pigeonhole: with ``bands`` ≥ max_hamming+1 16-bit
@@ -340,6 +369,16 @@ def simhash_pairs(
     their other ``bands-1`` bands (recall loss only when EVERY shared
     band is a mega-bucket, i.e. for boilerplate floods one intended to
     drop anyway)."""
+    if strict and bands < max_hamming + 1:
+        # pigeonhole precondition: with fewer bands a qualifying pair's
+        # differing bits can cover every band and the pair is silently
+        # never generated (r3 review — enforce what the docstring
+        # states; best-effort match-RATE workloads opt out explicitly)
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming="
+            f"{max_hamming}: need bands >= max_hamming + 1 "
+            "(pass strict=False to accept best-effort recall)"
+        )
     bits = 64 // bands
     sh = simhash_table(df, id_col, text_col, "__sh").select(
         F.col(id_col).alias("__id"), "__sh"
@@ -361,12 +400,7 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("__id", "__sh", "bk.band", "bk.key")
-    if max_bucket is not None:
-        sizes = banded.groupBy("band", "key").agg(F.count("*").alias("__n"))
-        banded = banded.join(
-            sizes.where(F.col("__n") <= max_bucket).select("band", "key"),
-            ["band", "key"],
-        )
+    banded = cap_buckets(banded, ["band", "key"], max_bucket)
     l = banded.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"), "band", "key")
     r = banded.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"), "band", "key")
     return (

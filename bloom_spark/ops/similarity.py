@@ -199,6 +199,10 @@ def query_buckets_local(
     )
     proj = planes.reshape(-1, dim).T.copy()
     weights = 1 << np.arange(n_planes, dtype=np.int64)
+    if len(queries_pdf) == 0:
+        # an empty (0,) x would fail the matmul dim check (r3 review);
+        # the index-side UDF guards this case too
+        return np.zeros((n_tables, 0), dtype=np.int64)
     x = np.asarray(
         [np.asarray(v, dtype=np.float64) for v in queries_pdf[vec_col]]
     )
@@ -232,11 +236,9 @@ def lsh_topk_indexed(
     EVERY table landed in a mega-bucket."""
     spark = queries.sparkSession
     if max_bucket is not None:
-        sizes = index.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
-        index = index.join(
-            sizes.where(F.col("__n") <= max_bucket).select("table", "bucket"),
-            ["table", "bucket"],
-        )
+        from bloom_spark.ops.neardup import cap_buckets
+
+        index = cap_buckets(index, ["table", "bucket"], max_bucket)
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     buckets = query_buckets_local(
         qpdf, dim, vec_col=vec_col,
@@ -247,8 +249,12 @@ def lsh_topk_indexed(
         for t in range(n_tables)
         for i, (qid, qv) in enumerate(zip(qpdf[query_id_col], qpdf[vec_col]))
     ]
+    # derive the query-id type from the input — a hardcoded `long` broke
+    # string query ids that every sibling path accepts (r3 review)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     probe = spark.createDataFrame(
-        rows, f"table int, bucket long, {query_id_col} long, __qvec array<double>"
+        rows,
+        f"table int, bucket long, {query_id_col} {qid_type}, __qvec array<double>",
     )
     cands = (
         index.join(F.broadcast(probe), ["table", "bucket"])
@@ -404,24 +410,28 @@ def ivf_topk(
         ivf_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
     )
     qpdf = queries.select(query_id_col, vec_col).toPandas()
-    x = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    spark = queries.sparkSession
+    if len(qpdf) == 0:  # (0,) @ cents would raise (r3 review)
+        x = np.zeros((0, centroids.shape[1]), dtype=np.float64)
+    else:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
     cents = np.ascontiguousarray(centroids.T, dtype=np.float64)
     order = np.argsort(-(x @ cents), axis=1, kind="stable")[:, :nprobe]
-    spark = queries.sparkSession
     rows = [
         (qid, [float(v) for v in qv], int(cell))
         for qid, qv, cells in zip(qpdf[query_id_col], qpdf[vec_col], order)
         for cell in cells
     ]
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
     q = spark.createDataFrame(
-        rows, f"{query_id_col} long, __qvec array<double>, __cell int"
+        rows, f"{query_id_col} {qid_type}, __qvec array<double>, __cell int"
     )
-    scored = (
-        c.join(F.broadcast(q), "__cell")
-        .select(
-            query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
-        )
-        .dropDuplicates([query_id_col, id_col])
+    # no dropDuplicates here (unlike the multi-table LSH paths): each
+    # corpus row lives in exactly ONE cell and a query probes nprobe
+    # DISTINCT cells, so a (query, id) pair can match at most once — the
+    # dedup was a full extra shuffle for no semantic effect (r3 review)
+    scored = c.join(F.broadcast(q), "__cell").select(
+        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
@@ -444,15 +454,13 @@ def lsh_neardup_pairs(
 ) -> DataFrame:
     """Corpus-scale embedding near-dup: candidates from shared LSH
     buckets (skew-capped), exact cosine verification."""
+    from bloom_spark.ops.neardup import cap_buckets
+
     keyed = lsh_index(
         df, dim, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=n_tables, seed=seed,
     )
-    sizes = keyed.groupBy("table", "bucket").agg(F.count("*").alias("__n"))
-    keyed = keyed.join(
-        sizes.where(F.col("__n") <= max_bucket).select("table", "bucket"),
-        ["table", "bucket"],
-    )
+    keyed = cap_buckets(keyed, ["table", "bucket"], max_bucket)
     a = keyed.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "table", "bucket"
     )

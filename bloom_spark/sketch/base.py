@@ -24,6 +24,18 @@ _HEADER = struct.Struct(">I8sI")  # magic, kind (8 bytes, padded), params length
 _REGISTRY: dict[str, type["Sketch"]] = {}
 
 
+def _ser_bound(v: float):
+    """JSON-safe min/max bound: infinities become signed strings (a real
+    -inf serialized as None used to round-trip as +inf — r3 review);
+    ``float()`` parses them back, and None stays the legacy empty
+    sentinel on read."""
+    import math
+
+    if math.isinf(v):
+        return "inf" if v > 0 else "-inf"
+    return float(v)
+
+
 def register_sketch(cls: type["Sketch"]) -> type["Sketch"]:
     _REGISTRY[cls.KIND] = cls
     return cls

@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from bloom_spark.sketch.base import Sketch, register_sketch
+from bloom_spark.sketch.base import Sketch, _ser_bound, register_sketch
 
 _MIN_CAP = 8
 
@@ -152,8 +152,13 @@ class KLLSketch(Sketch):
             "seed": self.seed,
             "rng_counter": self._rng_counter,
             "n": self.n,
-            "min": None if np.isinf(self.min_value) else self.min_value,
-            "max": None if np.isinf(self.max_value) else self.max_value,
+            # infinities are JSON-unsafe but must survive serde with
+            # their SIGN: a real -inf min serialized as None used to
+            # round-trip as +inf (r3 review). Strings "inf"/"-inf" parse
+            # back via float(); None stays readable as the legacy empty
+            # sentinel.
+            "min": _ser_bound(self.min_value),
+            "max": _ser_bound(self.max_value),
             "level_sizes": [len(lv) for lv in self.levels],
         }
 
@@ -169,6 +174,7 @@ class KLLSketch(Sketch):
         s.n = int(params["n"])
         s.min_value = np.inf if params["min"] is None else float(params["min"])
         s.max_value = -np.inf if params["max"] is None else float(params["max"])
+        # (float() accepts the "inf"/"-inf" strings _ser_bound writes)
         sizes = params["level_sizes"]
         flat = np.frombuffer(payload, dtype=np.float64)
         s.levels, off = [], 0

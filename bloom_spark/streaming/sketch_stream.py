@@ -55,14 +55,17 @@ def _committed(ck: SketchCheckpoint, batch_id: int) -> bool:
 
 
 def _commit(ck: SketchCheckpoint, batch_id: int, n_rows: int) -> None:
-    manifest = ck._read_manifest()
-    run = manifest["runs"].setdefault(
-        "stream_batches", {"units": [], "rows": {}}
-    )
-    if int(batch_id) not in run["units"]:
-        run["units"] = sorted(run["units"] + [int(batch_id)])
-    run.setdefault("rows", {})[str(batch_id)] = int(n_rows)
-    ck._commit_manifest(manifest)
+    # lock the read-modify-write: a concurrent batch build under the
+    # same root must not erase this commit (r3 review)
+    with ck._manifest_lock():
+        manifest = ck._read_manifest()
+        run = manifest["runs"].setdefault(
+            "stream_batches", {"units": [], "rows": {}}
+        )
+        if int(batch_id) not in run["units"]:
+            run["units"] = sorted(run["units"] + [int(batch_id)])
+        run.setdefault("rows", {})[str(batch_id)] = int(n_rows)
+        ck._commit_manifest(manifest)
     # prune superseded sketch versions (keep the two newest committed)
     import os
 
@@ -136,10 +139,23 @@ def foreach_batch_bloom_dedup(
         survivors.write.mode("overwrite").parquet(
             f"{sink_dir}/batch_id={int(batch_id)}"
         )
-        segs = build_segments(batch_df, keys, factory)
-        sketch, n = merge_segments(segs)
-        if current is not None:
-            sketch = current.merge(sketch)
+        # fold the SURVIVORS (read back from the parquet the sink action
+        # just materialized) instead of re-evaluating batch_df end to
+        # end a second time (r3 review). Equivalent filter state: every
+        # batch key is either already in `current` (dup) or present
+        # among the survivors (its first occurrence) — and the read-back
+        # costs one columnar scan of the survivor set, not a second full
+        # source pipeline.
+        written = spark.read.parquet(f"{sink_dir}/batch_id={int(batch_id)}")
+        if written.limit(1).count() == 0:
+            # all-duplicate micro-batch: nothing new to fold (an empty
+            # parquet can read back as zero partitions → zero segments)
+            sketch, n = (current if current is not None else factory()), 0
+        else:
+            segs = build_segments(written, keys, factory)
+            sketch, n = merge_segments(segs)
+            if current is not None:
+                sketch = current.merge(sketch)
         ck.save_sketch(_sketch_name(batch_id), sketch)
         _commit(ck, batch_id, n)
 

@@ -135,3 +135,29 @@ def test_value_sketch_checkpoint(spark, tmp_path):
     med = float(kll.quantile(np.array([0.5]))[0])
     exact = events.approxQuantile("value", [0.5], 0.0)[0]
     assert abs(med - exact) / max(abs(exact), 1e-9) < 0.1 or abs(med - exact) < 5.0
+
+
+def test_resume_with_different_keys_refused(spark, tmp_path):
+    """r3 review: the resume guard checked n_units/unit_col but not the
+    KEY columns — resuming with different cols silently merged
+    url-keyed and text-keyed segments into one wrong filter."""
+    import pytest
+
+    from bloom_spark.sketch import BloomSketch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ck = SketchCheckpoint(str(tmp_path / "ck"))
+    factory = lambda: BloomSketch.from_fpr(1000, 1e-6)  # noqa: E731
+    ck.build(spark, docs, ["text"], factory, run_id="r", n_units=4,
+             unit_col="doc_id", max_units=2)
+    with pytest.raises(ValueError, match="cannot resume with"):
+        ck.build(spark, docs, ["source"], factory, run_id="r", n_units=4,
+                 unit_col="doc_id")
+    with pytest.raises(ValueError, match="cannot resume with"):
+        ck.build(spark, docs, ["text"],
+                 lambda: BloomSketch.from_fpr(2000, 1e-3),
+                 run_id="r", n_units=4, unit_col="doc_id")
+    # identical config resumes fine
+    out = ck.build(spark, docs, ["text"], factory, run_id="r", n_units=4,
+                   unit_col="doc_id")
+    assert out is not None

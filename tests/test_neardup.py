@@ -115,7 +115,7 @@ def test_simhash_pairs_finds_near(spark):
             (3, "grep the logs for retry markers and count flaky tests today")]
     df = spark.createDataFrame(rows, "id int, text string")
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in simhash_pairs(df, "id", "text", max_hamming=8).collect()}
+             for r in simhash_pairs(df, "id", "text", max_hamming=8, strict=False).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
@@ -144,3 +144,18 @@ def test_simhash_dedup_drops_perturbed_copies(spark):
     ids = [r["doc_id"] for r in kept.select("doc_id").collect()]
     assert all(i < 1_000_000 for i in ids)      # originals win
     assert len(ids) <= docs.count()             # every copy dropped
+
+
+def test_simhash_strict_guard(spark):
+    """r3 review: bands < max_hamming+1 silently lost qualifying pairs;
+    now refused unless the caller opts into best-effort recall."""
+    import pytest
+
+    from bloom_spark.ops.neardup import simhash_pairs
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, text string")
+    with pytest.raises(ValueError, match="strict=False"):
+        simhash_pairs(df, "id", "text", max_hamming=8, bands=4).collect()
+    # opt-out works (and the valid default geometry needs no opt-out)
+    simhash_pairs(df, "id", "text", max_hamming=8, bands=4, strict=False)
+    simhash_pairs(df, "id", "text", max_hamming=3, bands=4)

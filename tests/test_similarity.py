@@ -154,3 +154,26 @@ def test_ivf_topk_recall(spark, emb):
     full = ivf_topk(embd, queries, k=5, centroids=cents, nprobe=8)
     f = {(r["query_id"], r["vec_id"]) for r in full.collect()}
     assert f == e
+
+
+def test_lsh_topk_indexed_string_query_ids(spark):
+    """r3 review: the driver-built probe schema hardcoded the query-id
+    type as long; string ids must work like every sibling path."""
+    import numpy as np
+
+    from bloom_spark.ops.similarity import lsh_index, lsh_topk_indexed
+
+    rng = np.random.default_rng(5)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q-one", [float(x) for x in rng.normal(size=8)]),
+         ("q-two", [float(x) for x in rng.normal(size=8)])],
+        "query_id string, embedding array<double>",
+    )
+    idx = lsh_index(corpus, 8, n_planes=4, n_tables=6)
+    out = lsh_topk_indexed(idx, queries, k=3, dim=8, n_planes=4, n_tables=6)
+    got = {r["query_id"] for r in out.collect()}
+    assert got <= {"q-one", "q-two"} and got

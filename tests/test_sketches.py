@@ -456,3 +456,17 @@ class TestXXHTable:
 def test_unknown_magic_rejected():
     with pytest.raises(ValueError):
         Sketch.from_bytes(b"\x00" * 64)
+
+
+def test_infinite_bounds_survive_serde():
+    """r3 review: a real -inf min (or +inf max) serialized as the None
+    empty-sentinel round-tripped with FLIPPED sign; signed string forms
+    must preserve it."""
+    k = KLLSketch(200)
+    k.update_values(np.array([-np.inf, 1.0, 2.0]))
+    back = KLLSketch.from_bytes(k.to_bytes())
+    assert back.min_value == -np.inf
+    assert float(back.quantile(0.0)) == -np.inf
+    t = TDigest(100)
+    t.update_values(np.array([np.inf, 1.0]))
+    assert TDigest.from_bytes(t.to_bytes()).max_value == np.inf
