@@ -106,21 +106,29 @@ def cap_buckets(
 ) -> DataFrame:
     """Skew guard shared by every LSH-bucketing path: keep only rows
     whose bucket (the ``keys`` tuple) has between ``min_size`` and
-    ``max_bucket`` rows, WITHOUT ever materializing a bucket's row list
-    — count + semi-join, both map-side-partial shapes. A boilerplate
-    bucket shared by 10M docs costs one counter here, never a 10M-element
-    aggregation buffer (r3 review: the old minhash path collect_list'd
-    the mega-bucket before filtering it out)."""
+    ``max_bucket`` rows.
+
+    Shape: ONE pass — a partition-only window count over the bucket key
+    (WindowExec sorts/buffers with disk spill, so a 10M-row boilerplate
+    mega-bucket spills instead of growing an in-memory array the way
+    the old ``collect_list``-then-filter did — r3 review), then a plain
+    filter. The window's exchange on ``keys`` is the same partitioning
+    the downstream self-join / collect_list needs, so Catalyst reuses
+    it. The earlier count+semi-join variant evaluated the (expensive)
+    upstream pipeline TWICE — measured 2x on the minhash bench."""
+    if max_bucket is None and min_size <= 1:
+        return df
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*[F.col(k) for k in keys])
     cond = F.col("__bs_bn") >= min_size
     if max_bucket is not None:
         cond = cond & (F.col("__bs_bn") <= max_bucket)
-    ok = (
-        df.groupBy(*keys)
-        .agg(F.count("*").alias("__bs_bn"))
+    return (
+        df.withColumn("__bs_bn", F.count(F.lit(1)).over(w))
         .where(cond)
-        .select(*keys)
+        .drop("__bs_bn")
     )
-    return df.join(ok, keys, "left_semi")
 
 
 def minhash_lsh_candidates(
