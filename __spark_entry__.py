@@ -411,6 +411,94 @@ def q_xxh_anti_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training PII scrub (functions.text.redact_pii): deterministic
+    emails/IPs/phones are planted per doc, then counted and redacted —
+    md5 of the redacted text keeps the comparison exact. Pure Catalyst
+    both sides; ASCII-only regexes so Java and RE2 agree."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import pii_counts, redact_pii
+
+    docs = _docs(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" or 192.168."), F.col("doc_id") % 256, F.lit(".1"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call +1 (555) 123-4567"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    out = planted.select(
+        "doc_id",
+        pii_counts(F.col("t")).alias("c"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("c.emails").cast("long").alias("emails"),
+        F.col("c.phones").cast("long").alias("phones"),
+        F.col("c.ips").cast("long").alias("ips"),
+        "redacted_md5",
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup via canonical normalization
+    (functions.text.normalize_url): scheme/host lowercased, www and
+    query/fragment stripped, trailing slash trimmed — variants of the
+    same page collapse. Returns each distinct canonical url with its
+    variant count."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import normalize_url
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        F.concat(
+            F.lit("https://WWW.Host"), F.col("doc_id") % 7,
+            F.lit(".Example.COM/Path/"), F.col("doc_id") % 50,
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x#frag"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    return (
+        urls.select(normalize_url(F.col("url")).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-line quality signal
+    (functions.text.line_repetition_ratio): docs with a high fraction
+    of duplicate lines get flagged. Every fourth doc is made
+    self-repeating; int/int division is bit-identical across engines."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.functions.text import line_repetition_ratio
+
+    docs = _docs(spark, sf_dir)
+    lined = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), " ", "\n").alias("lt"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("lt"), F.lit("\n"), F.col("lt")),
+        ).otherwise(F.col("lt")).alias("t"),
+    )
+    return lined.select(
+        "doc_id",
+        line_repetition_ratio(F.col("t")).alias("rep_ratio"),
+        (line_repetition_ratio(F.col("t")) > 0.3).alias("flagged"),
+    )
+
+
 def q_cascade_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 per-record debug traces (≙ the reference's ``-d``/``-di``
     eprintln's, process.rs:111-176) as a DataFrame: for every document,
@@ -979,6 +1067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bloom_anti_filter": q_bloom_anti_filter,
         "xxh_anti_filter": q_xxh_anti_filter,
+        "pii_redaction": q_pii_redaction,
+        "url_dedup": q_url_dedup,
+        "repetition_filter": q_repetition_filter,
         "cascade_trace": q_cascade_trace,
         "sharded_anti_filter": q_sharded_anti_filter,
         "blf_xxh3_interop": q_blf_xxh3_interop,
@@ -1148,6 +1239,82 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS invalid_frac_ok,
                    TRUE AS distinct_frac_ok,
                    TRUE AS filter_dense
+        """,
+        "pii_redaction": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id || '@example.com'
+                          || ' or 192.168.' || (doc_id % 256) || '.1'
+                          || CASE WHEN doc_id % 5 = 0
+                                  THEN ' call +1 (555) 123-4567' ELSE '' END AS t
+              FROM documents
+            ), redacted AS (
+              SELECT doc_id, t,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(t,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{2,4}',
+                       '<PHONE>', 'g') AS r
+              FROM planted
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS emails,
+                   len(regexp_extract_all(t,
+                     '\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{2,4}'))::BIGINT AS phones,
+                   len(regexp_extract_all(t,
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS ips,
+                   md5(r) AS redacted_md5
+            FROM redacted
+        """,
+        "url_dedup": r"""
+            WITH urls AS (
+              SELECT 'https://WWW.Host' || (doc_id % 7) || '.Example.COM/Path/'
+                     || (doc_id % 50)
+                     || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x#frag' ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END AS url
+              FROM documents
+            ), b1 AS (
+              SELECT regexp_replace(regexp_replace(url, '#.*$', ''), '\?.*$', '') AS base
+              FROM urls
+            ), b2 AS (
+              SELECT CASE
+                WHEN regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) = ''
+                THEN base
+                ELSE lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+                     || regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1)
+              END AS lowered FROM b1
+            ), b3 AS (
+              SELECT regexp_replace(lowered, '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS no_www
+              FROM b2
+            ), b4 AS (
+              SELECT regexp_replace(no_www, '(.+?)/+$', '\1') AS canonical_url FROM b3
+            )
+            SELECT canonical_url, count(*) AS n_variants FROM b4 GROUP BY 1
+        """,
+        "repetition_filter": r"""
+            WITH lined AS (
+              SELECT doc_id, replace(text, ' ', chr(10)) AS lt FROM documents
+            ), t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0 THEN lt || chr(10) || lt ELSE lt END AS t
+              FROM lined
+            ), m AS (
+              SELECT doc_id,
+                     len(list_filter(string_split(t, chr(10)), x -> len(x) > 0)) AS n,
+                     len(list_distinct(list_filter(string_split(t, chr(10)),
+                                                   x -> len(x) > 0))) AS d
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN n <= 1 THEN CAST(0.0 AS DOUBLE)
+                        ELSE (n - d) / CAST(n AS DOUBLE) END AS rep_ratio,
+                   CASE WHEN n <= 1 THEN FALSE
+                        ELSE ((n - d) / CAST(n AS DOUBLE)) > 0.3 END AS flagged
+            FROM m
         """,
         "cascade_trace": """
             SELECT doc_id,

@@ -160,3 +160,78 @@ def extract_text(html: Column) -> Column:
         decoded, r"(?is)<(script|style)\b[^>]*>.*?</\1>", ""
     )
     return F.regexp_replace(no_blocks, r"<[^>]*>", "")
+
+
+# ------------------------------------------------------------- r3 additions
+
+# PII patterns, deliberately ASCII-only and anchored on word boundaries so
+# Java regex and RE2/DuckDB agree byte-for-byte (same constraint as
+# LANG_PROFILES). These are the high-precision "scrub before training"
+# classes; recall-maximizing PII detection needs NER, out of scope.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# international-ish phone: optional +CC, then 3 groups of digits with
+# separators — at least 9 digits total keeps false positives (dates,
+# version numbers) low
+PHONE_RE = r"\+?[0-9]{1,3}[-. (]{1,2}[0-9]{3}[-. )]{1,2}[0-9]{3}[-. ]?[0-9]{2,4}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii(
+    text: Column,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+    ip_token: str = "<IP>",
+) -> Column:
+    """Replace emails, phone numbers, and IPv4 literals with placeholder
+    tokens — the standard pre-training scrub pass. Pure Catalyst
+    (three regexp_replace, whole-stage codegen); order matters: emails
+    first so their digit runs cannot be half-eaten by the phone rule."""
+    out = F.regexp_replace(text, EMAIL_RE, email_token)
+    out = F.regexp_replace(out, IPV4_RE, ip_token)
+    return F.regexp_replace(out, PHONE_RE, phone_token)
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct (emails, phones, ips) of per-document PII match counts —
+    the audit/reporting side of :func:`redact_pii`."""
+    return F.struct(
+        F.regexp_count(text, F.lit(EMAIL_RE)).alias("emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).alias("phones"),
+        F.regexp_count(text, F.lit(IPV4_RE)).alias("ips"),
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL for URL-level dedup of a crawl: lowercase scheme +
+    host, strip a leading ``www.``, drop the fragment and the query
+    string (tracking params dominate), trim a trailing slash from the
+    path. Deliberately regex-only (no parse_url) so the DuckDB oracle
+    replays it byte-for-byte."""
+    # split off fragment, then query
+    base = F.regexp_replace(url, r"#.*$", "")
+    base = F.regexp_replace(base, r"\?.*$", "")
+    # lowercase ONLY the scheme://host prefix (paths are case-sensitive)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+        F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$", 1),
+    )
+    # a url without a scheme passes through the regexes as-is
+    lowered = F.when(
+        F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://)", 1) == "", base
+    ).otherwise(lowered)
+    no_www = F.regexp_replace(lowered, r"^([a-z][a-z0-9+.-]*://)www\.", "$1")
+    return F.regexp_replace(no_www, r"(.+?)/+$", "$1")
+
+
+def line_repetition_ratio(text: Column) -> Column:
+    """Fraction of a document's non-empty lines that are duplicates of
+    an earlier line — the Gopher-style repetition signal (Rae et al.
+    2021, "Scaling Language Models", §A1.1): boilerplate/spam pages
+    repeat themselves. 0.0 for documents with ≤1 line; pure Catalyst
+    (split + array ops, no shuffle, no Python)."""
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(x) > 0)
+    n = F.size(lines)
+    distinct_n = F.size(F.array_distinct(lines))
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        (n - distinct_n).cast("double") / n.cast("double")
+    )

@@ -151,3 +151,61 @@ class TestExtraction:
         ).collect()
         assert out[0]["t"] == "ok" and out[0]["v"]
         assert out[1]["t"] is None and not out[1]["v"]
+
+
+class TestR3TextOps:
+    def test_redact_pii_and_counts(self, spark):
+        from bloom_spark.functions.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "mail a.b+c@test.org or call +44 (201) 123-4567, "
+                 "server 10.0.0.1 done")],
+            "id int, t string",
+        )
+        row = df.select(
+            redact_pii(F.col("t")).alias("r"), pii_counts(F.col("t")).alias("c")
+        ).collect()[0]
+        assert "<EMAIL>" in row["r"] and "<PHONE>" in row["r"] and "<IP>" in row["r"]
+        assert "test.org" not in row["r"] and "10.0.0.1" not in row["r"]
+        assert (row["c"]["emails"], row["c"]["phones"], row["c"]["ips"]) == (1, 1, 1)
+        # email digits are not half-eaten by the phone rule
+        clean = df.select(redact_pii(F.lit("x123456789@y.com")).alias("r")).collect()
+        assert clean[0]["r"] == "<EMAIL>"
+
+    def test_normalize_url(self, spark):
+        from bloom_spark.functions.text import normalize_url
+
+        cases = {
+            "https://WWW.Example.COM/Path/A?q=1#f": "https://example.com/Path/A",
+            "HTTP://Example.com/a/": "http://example.com/a",
+            "https://example.com/a//": "https://example.com/a",
+            "example.com/NoScheme/": "example.com/NoScheme",
+            "https://www.example.com": "https://example.com",
+        }
+        df = spark.createDataFrame([(u,) for u in cases], "url string")
+        got = {
+            r["url"]: r["n"]
+            for r in df.select(
+                "url", normalize_url(F.col("url")).alias("n")
+            ).collect()
+        }
+        for raw, want in cases.items():
+            assert got[raw] == want, (raw, got[raw], want)
+
+    def test_line_repetition_ratio(self, spark):
+        from bloom_spark.functions.text import line_repetition_ratio
+
+        df = spark.createDataFrame(
+            [(1, "a\nb\nc"), (2, "a\na\na\na"), (3, "a\n\na"), (4, "solo"), (5, "")],
+            "id int, t string",
+        )
+        got = {
+            r["id"]: r["r"]
+            for r in df.select(
+                "id", line_repetition_ratio(F.col("t")).alias("r")
+            ).collect()
+        }
+        assert got[1] == 0.0
+        assert got[2] == 0.75          # 4 lines, 1 distinct
+        assert got[3] == 0.5           # empty line dropped: a,a
+        assert got[4] == 0.0 and got[5] == 0.0
