@@ -25,7 +25,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from bloom_spark.functions.text import lang_id, quality_score
+from bloom_spark.functions.text import (
+    lang_id,
+    line_repetition_ratio,
+    quality_score,
+    redact_pii,
+)
 from bloom_spark.ops.dedup import exact_dedup
 from bloom_spark.ops.neardup import minhash_dedup
 
@@ -40,26 +45,42 @@ def clean_corpus(
     shingle_n: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    max_repetition: float | None = None,
+    redact: bool = False,
 ) -> DataFrame:
     """Clean a document corpus for training: keep rows whose quality
     score ≥ ``min_quality`` and predicted language ∈ ``langs``, drop
     exact duplicate texts (first ``id_col`` wins), then remove near
     duplicates at shingle-Jaccard ≥ ``min_jaccard`` (lowest id kept).
 
+    Optional stages (r3, off by default so the composed oracle stays
+    byte-stable): ``max_repetition`` adds the Gopher repeated-line gate
+    (drop docs whose duplicate-line fraction exceeds it) alongside the
+    other Catalyst gates — still below the first exchange;
+    ``redact=True`` rewrites ``text_col`` through :func:`redact_pii`
+    AFTER dedup (redaction collapses distinct PII into identical
+    tokens, so deduping first preserves the reference's exact-line
+    semantics on the raw text).
+
     Returns the surviving rows with the original columns.
     """
-    gated = (
-        df.withColumn("__q", quality_score(F.col(text_col)))
-        .withColumn("__lang", lang_id(F.col(text_col)))
-        .where(
-            (F.col("__q") >= F.lit(float(min_quality)))
-            & F.col("__lang").isin(*langs)
-        )
-        .drop("__q", "__lang")
+    pred = (F.col("__q") >= F.lit(float(min_quality))) & F.col("__lang").isin(
+        *langs
     )
+    gated = df.withColumn("__q", quality_score(F.col(text_col))).withColumn(
+        "__lang", lang_id(F.col(text_col))
+    )
+    if max_repetition is not None:
+        pred = pred & (
+            line_repetition_ratio(F.col(text_col)) <= F.lit(float(max_repetition))
+        )
+    gated = gated.where(pred).drop("__q", "__lang")
     deduped = exact_dedup(gated, [text_col], order_col=id_col)
-    return minhash_dedup(
+    out = minhash_dedup(
         deduped, id_col, text_col,
         min_jaccard=min_jaccard, shingle_n=shingle_n,
         num_hashes=num_hashes, bands=bands,
     )
+    if redact:
+        out = out.withColumn(text_col, redact_pii(F.col(text_col)))
+    return out

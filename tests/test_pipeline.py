@@ -54,3 +54,40 @@ def test_clean_corpus_removes_injected_duplicates(spark, docs):
     )
     ids = sorted(r["doc_id"] for r in kept.collect())
     assert all(i < 1000 for i in ids)  # originals win, exact copies dropped
+
+
+def test_clean_corpus_optional_stages(spark):
+    """r3: repetition gate drops self-repeating docs below the first
+    exchange; redact=True rewrites text after dedup."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops.pipeline import clean_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # self-repeating but NOT a near-dup of any corpus doc (tripling an
+    # existing text keeps its shingle set → minhash removes it even
+    # without the gate); English-ish so the quality/lang gates pass it
+    rep_line = "the cat and the dog sit in the house and it is warm"
+    rep = spark.createDataFrame(
+        [(900_000 + i, "\n".join([rep_line + f" {i}"] * 6), "en", "src0", 100)
+         for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # standalone texts (NOT near-dups of corpus docs — appending an email
+    # to an existing text keeps Jaccard ≥ 0.8 and dedup would drop them)
+    pii = spark.createDataFrame(
+        [(950_000 + i,
+          f"please write to the team number {i} at zz@qq.org and it is "
+          "the best way to reach the office in the morning", "en", "src0", 100)
+         for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(rep).unionByName(pii)
+    base = clean_corpus(corpus, min_quality=0.0)
+    gated = clean_corpus(corpus, min_quality=0.0, max_repetition=0.5)
+    kept_ids = {r["doc_id"] for r in gated.select("doc_id").collect()}
+    assert not any(i >= 900_000 and i < 950_000 for i in kept_ids)
+    assert base.count() > gated.count()
+    red = clean_corpus(corpus, min_quality=0.0, redact=True)
+    reds = [r["text"] for r in red.where("doc_id >= 950000").collect()]
+    assert reds and all("<EMAIL>" in t and "zz@qq.org" not in t for t in reds)
