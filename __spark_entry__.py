@@ -977,21 +977,30 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (stub codec): decode stats per kind.
-    No SQL oracle (binary fake-codec) — rows-only check."""
+    """Multimodal plumbing (stub codec, real Spark path): BMM1 payloads
+    keyed by the documents table's doc_ids → mapInPandas decode →
+    per-media features. The fake codec's body bytes are a linear
+    formula ((7*id + 11*j) % 256), so every decoded feature — dims,
+    n_bytes, mean intensity — is EXACTLY replayable in DuckDB SQL
+    over the documents view: full rows+schema+hash oracle without
+    pretending to decode real JPEG (SURVEY.md §2 multimodal row)."""
     import pyspark.sql.functions as F
 
-    from bloom_spark.ops.multimodal import decode_media, synthesize_media
+    from bloom_spark.ops.multimodal import decode_media, media_from_ids
 
-    media = synthesize_media(spark, 300, num_partitions=4)
+    docs = _docs(spark, sf_dir)
+    media = media_from_ids(docs.select("doc_id"), id_col="doc_id")
     dec = decode_media(media)
-    return (
-        dec.groupBy("kind")
-        .agg(
-            F.count("*").alias("n"),
-            F.sum("n_bytes").alias("total_bytes"),
-        )
-        .orderBy("kind")
+    return dec.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "n_bytes",
+        "mean_intensity",
     )
 
 
@@ -1501,6 +1510,29 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
         """,
-        # pages_pipeline, multimodal_decode: generator/codec are
-        # xxhash64/binary-based — not expressible in ANSI SQL; rows-only.
+        "multimodal_decode": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                     (8 + doc_id % 8)::BIGINT AS width,
+                     (8 + doc_id % 5)::BIGINT AS height,
+                     (1 + doc_id % 3)::BIGINT AS channels,
+                     (CASE WHEN doc_id % 3 = 0 THEN 1
+                           ELSE 4 + doc_id % 4 END)::BIGINT AS n_frames,
+                     (CASE WHEN doc_id % 3 = 1 THEN 16000
+                           ELSE 0 END)::BIGINT AS sample_rate
+              FROM documents)
+            SELECT media_id, kind, width, height, channels, n_frames,
+                   sample_rate,
+                   (width*height*channels*n_frames)::BIGINT AS n_bytes,
+                   list_avg(list_transform(
+                       range(0, (width*height*channels*n_frames)::INT),
+                       j -> CAST((7*media_id + 11*j) % 256 AS DOUBLE)
+                   )) AS mean_intensity
+            FROM m
+        """,
+        # pages_pipeline: generator is xxhash64-based — exact counts not
+        # expressible in ANSI SQL; partial oracle (invariant booleans).
     }

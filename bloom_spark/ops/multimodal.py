@@ -9,7 +9,11 @@ function body, not the pipeline.
 
 Fake codec ("BMM1"): payload = 16-byte header
 (magic 4s, width u16, height u16, channels u8, n_frames u8, sr u32, pad)
-+ body bytes (one byte per "pixel" per frame). Deterministic per id.
++ body bytes (one byte per "pixel" per frame). Deterministic per id,
+with body byte j = (7*id + 11*j) mod 256 — a formula ANSI SQL can
+replay, so decoded features (dims, n_bytes, mean intensity) are
+exactly oracle-checkable in DuckDB without a real codec
+(driver query ``multimodal_decode``).
 """
 
 from __future__ import annotations
@@ -47,33 +51,44 @@ def real_decode(payload: bytes):  # pragma: no cover - stub by design
     )
 
 
+def _gen_media(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Build one BMM1 payload per input id (column ``id``). Body byte j
+    is (7*id + 11*j) % 256 — deterministic AND SQL-replayable."""
+    for pdf in batches:
+        ids = pdf["id"].to_numpy()
+        kinds, payloads = [], []
+        for i in ids:
+            kind = ["image", "audio", "video"][int(i) % 3]
+            w, h, c = 8 + int(i) % 8, 8 + int(i) % 5, 1 + int(i) % 3
+            nf = 1 if kind == "image" else 4 + int(i) % 4
+            sr = 16000 if kind == "audio" else 0
+            n = w * h * c * nf
+            body = ((7 * int(i) + 11 * np.arange(n, dtype=np.int64)) % 256).astype(
+                np.uint8
+            )
+            payloads.append(
+                struct.pack(_HEADER_FMT, MAGIC, w, h, c, nf, sr) + body.tobytes()
+            )
+            kinds.append(kind)
+        yield pd.DataFrame({"media_id": ids, "kind": kinds, "payload": payloads})
+
+
 def synthesize_media(
     spark: SparkSession, n_rows: int, num_partitions: int | None = None
 ) -> DataFrame:
     """Deterministic fake media table. Generation runs distributed via
     mapInPandas over spark.range (fixture path, not the data path)."""
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["id"].to_numpy()
-            kinds, payloads = [], []
-            for i in ids:
-                rng = np.random.RandomState(int(i) % (2**31))
-                kind = ["image", "audio", "video"][int(i) % 3]
-                w, h, c = 8 + int(i) % 8, 8 + int(i) % 5, 1 + int(i) % 3
-                nf = 1 if kind == "image" else 4 + int(i) % 4
-                sr = 16000 if kind == "audio" else 0
-                body = rng.randint(0, 256, size=w * h * c * nf, dtype=np.uint8)
-                payloads.append(
-                    struct.pack(_HEADER_FMT, MAGIC, w, h, c, nf, sr) + body.tobytes()
-                )
-                kinds.append(kind)
-            yield pd.DataFrame(
-                {"media_id": ids, "kind": kinds, "payload": payloads}
-            )
-
     return spark.range(0, n_rows, numPartitions=num_partitions).mapInPandas(
-        gen, MEDIA_SCHEMA
+        _gen_media, MEDIA_SCHEMA
+    )
+
+
+def media_from_ids(df_ids: DataFrame, id_col: str = "id") -> DataFrame:
+    """Fake media table keyed by an existing id column (e.g. the
+    ``documents`` table's doc_id) — decode features over it become
+    oracle-replayable in SQL against the source table's ids."""
+    return df_ids.select(F.col(id_col).cast("long").alias("id")).mapInPandas(
+        _gen_media, MEDIA_SCHEMA
     )
 
 
