@@ -96,14 +96,23 @@ def read_blf(path: str, k_num: int | str = "derived"):
     passing the limit as k (see blf_bloom module docstring); an int
     forces an explicit k.
     """
+    import os
+
     with open(path, "rb") as f:
-        blob = f.read()
-    hdr = read_header(blob)
+        head = f.read(HEADER_LEN)
+    hdr = read_header(head)
     ct = hdr["construction_type"]
     if ct in (CT_BLOOM_LINES_AND_SIZE, CT_BLOOM_LINES_AND_ERROR_RATE):
         from bloom_spark.io.blf_bloom import ReferenceBloom, optimal_k_num
 
-        payload = blob[HEADER_LEN:]
+        # memory-map the payload (keys + packed bitmap): the filter
+        # probes the PACKED bytes in place, so per-worker residency is
+        # ~file size and the OS page cache shares one physical copy
+        # across every worker on the host (r3 advice — the old path
+        # read the blob AND unpacked to bool, an 8x private expansion)
+        payload = np.memmap(
+            path, dtype=np.uint8, mode="r", offset=HEADER_LEN
+        )
         bitmap_bits = (len(payload) - 32) * 8
         if k_num == "derived":
             k = optimal_k_num(bitmap_bits, hdr["limit"])
@@ -124,8 +133,10 @@ def read_blf(path: str, k_num: int | str = "derived"):
     table = XXHFingerprintTable(
         hdr["size"], limit=hdr["max_writes"] or None, remap_slots=True
     )
+    # the XXH slot table is re-packed into the in-RAM uint32 slot array
+    # anyway, so a transient full read (not memmap) is fine here
     bits = np.unpackbits(
-        np.frombuffer(blob, dtype=np.uint8, offset=HEADER_LEN), bitorder="big"
+        np.fromfile(path, dtype=np.uint8, offset=HEADER_LEN), bitorder="big"
     )
     need = table.num_slots * SLOT_BITS
     if len(bits) < need:
@@ -234,6 +245,8 @@ def _blf_cached(path: str):
     probed stale (r3 review); superseded versions are evicted."""
     import os
 
+    from bloom_spark.ops.build import _cache_put
+
     st = os.stat(path)
     key = (path, st.st_mtime_ns, st.st_size)
     filt = _BLF_WORKER_CACHE.get(key)
@@ -241,7 +254,10 @@ def _blf_cached(path: str):
         for k in [k for k in _BLF_WORKER_CACHE if k[0] == path]:
             del _BLF_WORKER_CACHE[k]
         filt = read_blf(path)
-        _BLF_WORKER_CACHE[key] = filt
+        # FIFO cap like the sibling probe caches: distinct .blf paths in
+        # a long session must not accumulate one resident filter each
+        # per worker forever (r3 advice)
+        _cache_put(_BLF_WORKER_CACHE, key, filt)
     return filt
 
 

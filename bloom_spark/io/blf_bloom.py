@@ -83,13 +83,20 @@ class ReferenceBloom:
     built here load in the Rust binary.
     """
 
-    def __init__(self, bitmap_bits: int, k_num: int, sip_keys, bits=None):
+    def __init__(self, bitmap_bits: int, k_num: int, sip_keys, packed=None):
         self.m = int(bitmap_bits)
         self.k_num = int(k_num)
         # [(k0, k1), (k0, k1)] — the two hashers' keys
         self.sip_keys = [(int(a) & (2**64 - 1), int(b) & (2**64 - 1)) for a, b in sip_keys]
-        self.bits = (
-            bits if bits is not None else np.zeros(self.m, dtype=bool)
+        # bitmap stays PACKED (uint8, MSB-first — the file's own layout):
+        # a bool-array unpack is an 8x per-worker residency blowup, and
+        # for file-backed filters ``packed`` can be an ``np.memmap`` so
+        # every worker on a host shares one page-cached physical copy
+        # (r3 advice). Bit j of the filter is bit (7 - j%8) of byte j/8.
+        self.packed = (
+            packed
+            if packed is not None
+            else np.zeros((self.m + 7) // 8, dtype=np.uint8)
         )
         self.n_inserted = 0
         # construction items_count (the crate's n in the k formula);
@@ -129,29 +136,64 @@ class ReferenceBloom:
             cols.append(combined % _U(self.m))
         return np.stack(cols[: self.k_num], axis=1).astype(np.int64)
 
+    def _get_bits(self, idx: np.ndarray) -> np.ndarray:
+        """Bit values at ``idx`` straight off the packed bytes:
+        ``(packed[i>>3] >> (7-(i&7))) & 1`` — one gather, no unpack."""
+        return (
+            (self.packed[idx >> 3] >> (7 - (idx & 7)).astype(np.uint8)) & 1
+        ).astype(bool)
+
+    def _ensure_writable(self) -> None:
+        """File-backed (memmap / frombuffer) bitmaps are read-only probe
+        views; copy into private RAM on the first mutation only."""
+        if not self.packed.flags.writeable:
+            self.packed = np.array(self.packed)
+
+    @staticmethod
+    def _scatter_masks(flat_idx: np.ndarray):
+        return flat_idx >> 3, (
+            np.uint8(0x80) >> (flat_idx & 7).astype(np.uint8)
+        )
+
     def contains(self, values) -> np.ndarray:
         idx = self._bit_offsets(values)
-        return self.bits[idx].all(axis=1)
+        return self._get_bits(idx).all(axis=1)
 
     def set(self, values) -> None:
         idx = self._bit_offsets(values)
-        self.bits[idx.ravel()] = True
+        self._ensure_writable()
+        bytepos, mask = self._scatter_masks(idx.ravel())
+        np.bitwise_or.at(self.packed, bytepos, mask)
         self.n_inserted += len(idx)
 
     def check_and_set(self, values) -> np.ndarray:
+        """Per-row found-before-insert with the reference's sequential
+        batch semantics (a row is "found" iff every one of its bits was
+        set before it — by the filter or by an EARLIER batch row), fully
+        vectorized: the first batch row to write each bit is recovered
+        with one lexsort + unique over the unseen rows' bit indices, so
+        a mostly-unseen batch (fresh build) costs O(n·k log) numpy, not
+        an O(n) interpreted loop (r3 advice)."""
         idx = self._bit_offsets(values)
-        found = self.bits[idx].all(axis=1)
-        # first occurrence within the batch wins (the per-line loop
-        # sees earlier inserts); replay sequential semantics on the
-        # (rare) unseen rows only
+        present = self._get_bits(idx)  # (n, k)
+        found = present.all(axis=1)
         out = found.copy()
-        for i in np.flatnonzero(~found):
-            row = idx[i]
-            if self.bits[row].all():
-                out[i] = True
-            else:
-                self.bits[row] = True
-                self.n_inserted += 1
+        todo = np.flatnonzero(~found)
+        if len(todo):
+            self._ensure_writable()
+            k = idx.shape[1]
+            rows = np.repeat(todo, k)  # batch position of each element
+            flat = idx[todo].ravel()
+            order = np.lexsort((rows, flat))
+            uniq_bits, first_pos = np.unique(flat[order], return_index=True)
+            first_writer = rows[order][first_pos]  # per bit: earliest row
+            covered = present[todo].ravel() | (
+                first_writer[np.searchsorted(uniq_bits, flat)] < rows
+            )
+            out[todo] = covered.reshape(len(todo), k).all(axis=1)
+            self.n_inserted += int((~out[todo]).sum())
+            bytepos, mask = self._scatter_masks(flat)
+            np.bitwise_or.at(self.packed, bytepos, mask)
         return out
 
     # -- payload (sip keys + bitmap, container_memory_bloom.rs:76-113) -------
@@ -161,14 +203,22 @@ class ReferenceBloom:
              self.sip_keys[1][0], self.sip_keys[1][1]],
             dtype="<u8",
         )
-        return keys.tobytes() + np.packbits(self.bits, bitorder="big").tobytes()
+        return keys.tobytes() + self.packed.tobytes()
 
     @classmethod
     def from_payload(
-        cls, payload: bytes, k_num: int
+        cls, payload, k_num: int
     ) -> "ReferenceBloom":
-        keys = np.frombuffer(payload[:32], dtype="<u8")
-        bitmap = np.frombuffer(payload[32:], dtype=np.uint8)
-        bits = np.unpackbits(bitmap, bitorder="big").astype(bool)
-        f = cls(len(bits), k_num, [(keys[0], keys[1]), (keys[2], keys[3])], bits=bits)
+        """Zero-copy: ``payload`` may be bytes OR a uint8 view (e.g. an
+        ``np.memmap`` of the file past the header) — the bitmap stays a
+        read-only view of it until first mutation."""
+        buf = np.frombuffer(payload, dtype=np.uint8) if isinstance(
+            payload, (bytes, bytearray, memoryview)
+        ) else np.asarray(payload, dtype=np.uint8)
+        keys = buf[:32].view("<u8")
+        bitmap = buf[32:]
+        f = cls(
+            len(bitmap) * 8, k_num,
+            [(keys[0], keys[1]), (keys[2], keys[3])], packed=bitmap,
+        )
         return f

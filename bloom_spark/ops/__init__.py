@@ -51,6 +51,7 @@ from bloom_spark.ops.similarity import (  # noqa: F401
     cosine,
     cosine_neardup_pairs,
     ivf_topk,
+    ivf_topk_sweep,
     lsh_index,
     lsh_neardup_pairs,
     lsh_topk,

@@ -145,11 +145,13 @@ def minhash_lsh_candidates(
 
     ``max_bucket`` drops pathological buckets (e.g. empty-page boilerplate
     hashing identically across millions of docs) BEFORE any bucket's ids
-    are materialized (``cap_buckets``: count + semi-join — the r3 review
-    caught the old shape building the mega-bucket's collect_list array
-    first and filtering after, an executor OOM at exactly the scale the
-    guard exists for); only surviving ≤max_bucket buckets are collected
-    for the quadratic within-bucket pairing.
+    are materialized (``cap_buckets``: a single-pass spill-safe window
+    count over the bucket key, whose exchange the downstream groupBy
+    reuses — the r3 review caught the old shape building the
+    mega-bucket's collect_list array first and filtering after, an
+    executor OOM at exactly the scale the guard exists for); only
+    surviving ≤max_bucket buckets are collected for the quadratic
+    within-bucket pairing.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(

@@ -391,6 +391,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned by nearest-centroid cell,
     queries probe their nprobe nearest cells, exact cosine re-rank inside.
@@ -404,11 +405,24 @@ def ivf_topk(
     the bounded query set computes its nprobe nearest cells driver-side
     with the identical matrix layout, so a vector assigned to cell c as
     corpus is probed in cell c as query.
+
+    ``cell_col``: name of a PRECOMPUTED cell column on ``corpus`` (from
+    ``ivf_cell_udf`` with the same centroids). At corpus scale the cell
+    assignment is an indexing artifact written once and probed by many
+    queries; callers issuing several probes (or nprobe sweeps) against
+    one corpus should assign once, persist, and pass the column here —
+    otherwise every call re-runs the assignment UDF over the corpus
+    (the r3→r4 `ann_ivf_recall` bench regression).
     """
-    c = corpus.select(
-        F.col(id_col), F.col(vec_col),
-        ivf_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
-    )
+    if cell_col is not None:
+        c = corpus.select(
+            F.col(id_col), F.col(vec_col), F.col(cell_col).alias("__cell")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            ivf_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
+        )
     qpdf = queries.select(query_id_col, vec_col).toPandas()
     spark = queries.sparkSession
     if len(qpdf) == 0:  # (0,) @ cents would raise (r3 review)
@@ -434,6 +448,73 @@ def ivf_topk(
         query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
     )
     w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_topk_sweep(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    nprobes: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    cell_col: str | None = None,
+) -> DataFrame:
+    """Recall sweep: evaluate SEVERAL ``nprobe`` settings in ONE
+    join+window pass — the standard way to pick an IVF operating point
+    (recall vs cells-touched curve) without re-scanning the corpus per
+    setting.
+
+    Each probe row is tagged with its sweep ``__nprobe``; a query's
+    nprobe-n row set is its n nearest cells, so the single broadcast
+    join scores every (nprobe, query, cell-member) tuple and one window
+    per (nprobe, query) takes the top-k. The corpus (and its cell
+    assignment, when ``cell_col`` is not precomputed) is scanned once
+    for the whole sweep — running ``ivf_topk`` per setting costs one
+    corpus scan + join + window EACH (measured ~2x on the r4 bench for
+    a 2-point sweep). Output = ivf_topk's columns plus ``__nprobe``.
+    """
+    if cell_col is not None:
+        c = corpus.select(
+            F.col(id_col), F.col(vec_col), F.col(cell_col).alias("__cell")
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col), F.col(vec_col),
+            ivf_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
+        )
+    qpdf = queries.select(query_id_col, vec_col).toPandas()
+    spark = queries.sparkSession
+    if len(qpdf) == 0:
+        x = np.zeros((0, centroids.shape[1]), dtype=np.float64)
+    else:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
+    cents = np.ascontiguousarray(centroids.T, dtype=np.float64)
+    max_probe = max(nprobes)
+    order = np.argsort(-(x @ cents), axis=1, kind="stable")[:, :max_probe]
+    rows = [
+        (int(nprobe), qid, [float(v) for v in qv], int(cell))
+        for nprobe in nprobes
+        for qid, qv, cells in zip(qpdf[query_id_col], qpdf[vec_col], order)
+        for cell in cells[:nprobe]
+    ]
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    q = spark.createDataFrame(
+        rows,
+        f"__nprobe int, {query_id_col} {qid_type}, "
+        "__qvec array<double>, __cell int",
+    )
+    scored = c.join(F.broadcast(q), "__cell").select(
+        "__nprobe", query_id_col, id_col,
+        cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),
+    )
+    w = Window.partitionBy("__nprobe", query_id_col).orderBy(
         F.col("cos").desc(), F.col(id_col).asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).where(

@@ -251,10 +251,23 @@ class XXHFingerprintTable(Sketch):
             # no inserts happen: duplicates of an absent key stay unseen
             return found_unique[inverse]
         todo = is_first & ~found_unique[inverse]
-        # below the cap every unseen first copy is ATTEMPTED (a
-        # saturation-dropped key still answers True via its occupied
-        # window), so every non-first copy is present by then
-        found = np.where(is_first, found_unique[inverse], True)
+        if self.limit is not None:
+            # trim to the EXACT remaining room (batch order first), like
+            # BloomSketch/SketchCascade — the old batch-granularity gate
+            # overshot the cap by up to a batch (r3 advice), diverging
+            # from the reference's per-line is_full (process.rs:107-130)
+            room = max(0, self.limit - self.n_inserted)
+            if room < int(todo.sum()):
+                keep = np.flatnonzero(todo)[:room]
+                todo = np.zeros(n, dtype=bool)
+                todo[keep] = True
+        # an ATTEMPTED unseen first copy is present for its later
+        # duplicates (a saturation-dropped key still answers True via its
+        # occupied window); a cap-trimmed first copy leaves them unseen
+        attempted_unique = np.zeros(len(found_unique), dtype=bool)
+        attempted_unique[inverse[todo]] = True
+        present_after = found_unique | attempted_unique
+        found = np.where(is_first, found_unique[inverse], present_after[inverse])
         if todo.any():
             self.update_hashes(hu[todo])
         return found

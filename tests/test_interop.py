@@ -253,3 +253,81 @@ class TestBlfSparkProbe:
         }
         want = {r["doc_id"] for r in docs.where("doc_id % 5 = 0").collect()}
         assert got == want
+
+
+class TestR4PackedBitmap:
+    """r3 advice: ReferenceBloom keeps the bitmap PACKED (uint8, the
+    file's own MSB-first layout) and probes it with bit arithmetic —
+    file-backed filters stay ~file-size resident per worker instead of
+    8x-unpacked bool arrays — and check_and_set is vectorized. Pin the
+    new paths against literal sequential replays and the on-disk file."""
+
+    def test_check_and_set_matches_sequential_reference(self):
+        import random as _random
+
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        rng = _random.Random(7)
+        kw = dict(bitmap_bits=256, k_num=4, sip_keys=[(1, 2), (3, 4)])
+        fast = ReferenceBloom(**kw)
+        slow = ReferenceBloom(**kw)
+        for _ in range(6):
+            batch = pd.Series([f"k{rng.randrange(60)}" for _ in range(40)])
+            got = fast.check_and_set(batch)
+            # literal sequential oracle: per row, all-bits-set -> found,
+            # else write the row's bits (the pre-vectorization loop)
+            bits = np.unpackbits(slow.packed, bitorder="big").astype(bool)
+            want = []
+            for row in slow._bit_offsets(batch):
+                if bits[row].all():
+                    want.append(True)
+                else:
+                    bits[row] = True
+                    slow.n_inserted += 1
+                    want.append(False)
+            slow.packed = np.packbits(bits, bitorder="big")
+            assert got.tolist() == want
+            assert fast.n_inserted == slow.n_inserted
+            assert np.array_equal(fast.packed, slow.packed)
+
+    def test_set_contains_packed_parity(self):
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new_for_fp_rate(500, 1e-6)
+        vals = pd.Series([f"v{i}" for i in range(500)])
+        f.set(vals)
+        assert f.packed.dtype == np.uint8
+        assert len(f.packed) == (f.m + 7) // 8
+        assert f.contains(vals).all()
+        # bit j of the filter is bit (7 - j%8) of byte j/8 (file layout)
+        idx = f._bit_offsets(vals[:50])
+        flat = idx.ravel()
+        assert (
+            (f.packed[flat >> 3] >> (7 - (flat & 7)).astype(np.uint8)) & 1
+        ).all()
+
+    def test_file_backed_probe_is_readonly_view_and_copies_on_write(
+        self, tmp_path
+    ):
+        from bloom_spark.io.blf import read_blf, write_blf
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new_for_fp_rate(1000, 1e-6)
+        vals = pd.Series([f"m{i}" for i in range(1000)])
+        f.set(vals)
+        p = str(tmp_path / "m.blf")
+        write_blf(p, f)
+        back = read_blf(p)
+        # probe view: packed, read-only, backed by the mapped file (no
+        # private unpacked copy)
+        assert back.packed.dtype == np.uint8
+        assert not back.packed.flags.writeable
+        b = back.packed
+        while b is not None and not isinstance(b, np.memmap):
+            b = b.base
+        assert isinstance(b, np.memmap)
+        assert back.contains(vals).all()
+        before = open(p, "rb").read()
+        back.set(pd.Series(["new-key"]))  # must copy, not write the map
+        assert bool(back.contains(pd.Series(["new-key"]))[0])
+        assert open(p, "rb").read() == before

@@ -177,3 +177,69 @@ def test_lsh_topk_indexed_string_query_ids(spark):
     out = lsh_topk_indexed(idx, queries, k=3, dim=8, n_planes=4, n_tables=6)
     got = {r["query_id"] for r in out.collect()}
     assert got <= {"q-one", "q-two"} and got
+
+
+def test_ivf_topk_sweep_matches_per_nprobe(spark, emb):
+    """r4: the recall sweep evaluates several nprobe settings in ONE
+    scan+join+window pass; each tagged slice must equal the standalone
+    ivf_topk at that setting (same centroids, same tie order)."""
+    from bloom_spark.ops.similarity import (
+        ivf_topk,
+        ivf_topk_sweep,
+        train_centroids,
+    )
+
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_centroids(embd, n_cells=8, sample=500)
+    queries = embd.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    sweep = ivf_topk_sweep(
+        embd, queries, k=5, centroids=cents, nprobes=[3, 8]
+    ).collect()
+    for nprobe in (3, 8):
+        want = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(
+                embd, queries, k=5, centroids=cents, nprobe=nprobe
+            ).collect()
+        }
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in sweep
+            if r["__nprobe"] == nprobe
+        }
+        assert got == want, f"nprobe={nprobe} diverged"
+
+
+def test_ivf_precomputed_cell_col_matches_inline(spark, emb):
+    """r4: a persisted cell-assignment column (the write-once indexing
+    artifact) must probe identically to the inline assignment path."""
+    from bloom_spark.ops.similarity import (
+        ivf_cell_udf,
+        ivf_topk,
+        train_centroids,
+    )
+
+    embd = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = train_centroids(embd, n_cells=8, sample=500)
+    queries = embd.limit(8).select(F.col("vec_id").alias("query_id"), "embedding")
+    with_cells = embd.withColumn(
+        "cell", ivf_cell_udf(cents)(F.col("embedding"))
+    )
+    inline = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            embd, queries, k=5, centroids=cents, nprobe=3
+        ).collect()
+    }
+    precomp = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(
+            with_cells, queries, k=5, centroids=cents, nprobe=3,
+            cell_col="cell",
+        ).collect()
+    }
+    assert precomp == inline

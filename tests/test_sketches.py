@@ -354,6 +354,25 @@ class TestXXHTable:
         out = t.check_and_set(pd.Series(["k", "k", "seed"]))
         assert out.tolist() == [False, False, True]
 
+    def test_write_cap_trims_within_batch_exactly(self):
+        """r3 advice: the cap was enforced at batch granularity (once
+        below the limit a whole batch's unseen keys were inserted,
+        overshooting by up to a batch); now room = limit - n_inserted
+        trims the todo set in batch order like BloomSketch, and a
+        TRIMMED first copy leaves its later duplicates unseen while an
+        attempted one answers present for them."""
+        t = XXHFingerprintTable(size_bytes=64 * 1024, limit=2)
+        out = t.check_and_set(pd.Series(["a", "b", "c", "c", "b", "d"]))
+        # room=2: a,b attempted; c,d trimmed; dup-of-b present (its
+        # first copy really inserted), dup-of-c unseen (first copy cut)
+        assert out.tolist() == [False, False, False, False, True, False]
+        assert t.n_inserted == 2
+        assert t.contains(pd.Series(["a", "b"])).all()
+        assert not t.contains(pd.Series(["c", "d"])).any()
+        # saturated-at-cap: later batches degrade to pure check
+        out2 = t.check_and_set(pd.Series(["d", "d"]))
+        assert out2.tolist() == [False, False]
+
     def test_dedup_no_false_negatives_when_roomy(self):
         t = XXHFingerprintTable(size_bytes=1 << 20)
         vals = _strings("v", 5_000)
