@@ -127,6 +127,10 @@ def read_blf(path: str, k_num: int | str = "derived"):
         # partially-filled filter re-written with limit=n_inserted would
         # re-derive a wildly wrong k on the next read (r3 review)
         filt.items_count = int(hdr["limit"]) or None
+        if ct == CT_BLOOM_LINES_AND_ERROR_RATE:
+            # keep the construction rate so read→write round trips stay
+            # type 1 (write_blf re-checks geometry against it)
+            filt.fp_rate = hdr["error_rate"] or None
         return filt
     if ct != CT_XXH_LIMIT_AND_SIZE:
         raise ValueError(f"unknown construction type {ct}")
@@ -192,11 +196,33 @@ def write_blf(path: str, table, allow_foreign_hash: bool = False) -> None:
 
     if isinstance(table, ReferenceBloom):
         limit = table.items_count or table.n_inserted
+        # construction-faithful type: a filter built for an error rate is
+        # written as BloomLinesAndErrorRate (type 1) with the rate in the
+        # header — the Rust binary's reload reconstructs geometry from
+        # (limit, error_rate) via the crate's compute_bitmap_size
+        # (container_memory_bloom.rs:118-127), so the written size MUST
+        # equal that formula's output or the binary mis-probes; a
+        # size-constructed filter stays type 0. Both payloads are
+        # identical (4 sip keys + MSB-first bitmap).
+        if table.fp_rate is not None:
+            from bloom_spark.io.blf_bloom import compute_bitmap_size
+
+            want = compute_bitmap_size(limit, table.fp_rate)
+            if want != table.m // 8:
+                raise ValueError(
+                    f"fp_rate/limit imply {want} bytes but bitmap is "
+                    f"{table.m // 8} — refusing to write a type-1 file "
+                    "the reference would reconstruct with different "
+                    "geometry"
+                )
+            ctype, error_rate = CT_BLOOM_LINES_AND_ERROR_RATE, float(table.fp_rate)
+        else:
+            ctype, error_rate = CT_BLOOM_LINES_AND_SIZE, 0.0
         header = _HEAD.pack(MAGIC) + _FIELDS.pack(
-            CT_BLOOM_LINES_AND_SIZE,
+            ctype,
             table.m // 8,
             limit,
-            0.0,
+            error_rate,
             table.n_inserted,
             limit,
         )

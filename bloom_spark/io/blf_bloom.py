@@ -102,6 +102,12 @@ class ReferenceBloom:
         # construction items_count (the crate's n in the k formula);
         # written to the header's limit field so a reader re-derives k
         self.items_count: int | None = None
+        # construction error rate: set iff built via new_for_fp_rate (or
+        # read from a type-1 header) — write_blf uses it to emit
+        # BloomLinesAndErrorRate so the Rust binary reconstructs the
+        # SAME geometry from (limit, error_rate) on its reload path
+        # (container_memory_bloom.rs:118-127)
+        self.fp_rate: float | None = None
 
     # -- constructors (crate parity) ----------------------------------------
     @classmethod
@@ -122,7 +128,9 @@ class ReferenceBloom:
 
     @classmethod
     def new_for_fp_rate(cls, items_count: int, fp_p: float, seed: int = 0x42) -> "ReferenceBloom":
-        return cls.new(compute_bitmap_size(items_count, fp_p), items_count, seed=seed)
+        f = cls.new(compute_bitmap_size(items_count, fp_p), items_count, seed=seed)
+        f.fp_rate = float(fp_p)
+        return f
 
     # -- probe ---------------------------------------------------------------
     def _bit_offsets(self, values) -> np.ndarray:

@@ -47,13 +47,26 @@ NUM_TRIES = 4
 _FP_MASK = np.uint64((1 << KEY_BITS) - 1)
 _OCC_BIT = np.uint32(1 << KEY_BITS)  # occupied flag in the packed slot
 
+# hard cap on the mergeable replay history (distinct attempted keys).
+# 2^27 keys = 1 GiB of 8 B hashes per serialized segment — beyond that
+# the "fixed-size sketch" contract is quietly broken (r3 verdict #8:
+# the reference DEFAULT of 200M lines would grow a ~1.6 GB blob), so
+# updates past the cap fail loudly instead. Raise it explicitly via
+# the constructor (max_replay_keys=...) if a bigger artifact is truly
+# wanted, or use BloomSketch, whose memory is fixed by construction.
+MAX_REPLAY_KEYS_DEFAULT = 1 << 27
+
 
 @register_sketch
 class XXHFingerprintTable(Sketch):
     KIND = "xxhtab"
 
     def __init__(
-        self, size_bytes: int, limit: int | None = None, remap_slots: bool = False
+        self,
+        size_bytes: int,
+        limit: int | None = None,
+        remap_slots: bool = False,
+        max_replay_keys: int | None = MAX_REPLAY_KEYS_DEFAULT,
     ):
         from bloom_spark.config import parse_size
 
@@ -91,6 +104,11 @@ class XXHFingerprintTable(Sketch):
         # the reference-parity artifact.
         self._n_recorded = 0
         self._n_consolidated = 0
+        # None disables the cap (caller owns the growth); see
+        # MAX_REPLAY_KEYS_DEFAULT for why the default refuses past 2^27
+        self.max_replay_keys = (
+            int(max_replay_keys) if max_replay_keys is not None else None
+        )
         self.replayable = True
         # value-level hash family. None = the library's seeded xxhash64
         # (hash_series); io.blf.read_blf sets the true reference hash
@@ -213,7 +231,33 @@ class XXHFingerprintTable(Sketch):
         chunk list to one sorted-distinct array whenever the recorded
         total doubles since the last consolidation — bounds both the
         chunk count and the duplicate overhead at ≤ 2x the distinct
-        keys, amortized O(n log n) total (VERDICT r2 #4)."""
+        keys, amortized O(n log n) total (VERDICT r2 #4).
+
+        Enforces ``max_replay_keys`` BEFORE any slot mutation of the
+        batch (callers record first): when the upper bound would pass
+        the cap, a full consolidation computes the true distinct count,
+        and if that exceeds the cap the update raises — the table's
+        state is exactly as before the offending call (modulo the
+        lossless consolidation)."""
+        if (
+            self.max_replay_keys is not None
+            and self._n_recorded + len(chunk) > self.max_replay_keys
+        ):
+            allh = np.unique(np.concatenate(self._hash_chunks + [chunk]))
+            if len(allh) > self.max_replay_keys:
+                raise ValueError(
+                    f"replay history would exceed max_replay_keys="
+                    f"{self.max_replay_keys} distinct keys (~"
+                    f"{self.max_replay_keys * 8 >> 20} MiB serialized): "
+                    "the XXH table's mergeable form grows 8 B per "
+                    "distinct key, so it is not a fixed-size sketch at "
+                    "this scale. Use BloomSketch (fixed m bits by "
+                    "construction) for 10^9+ keys, or pass a larger "
+                    "max_replay_keys / None to accept the growth."
+                )
+            self._hash_chunks = [allh]
+            self._n_recorded = self._n_consolidated = len(allh)
+            return
         self._hash_chunks.append(chunk)
         self._n_recorded += len(chunk)
         if (
@@ -309,8 +353,12 @@ class XXHFingerprintTable(Sketch):
                 "hashes needed for true-base re-insertion are not present"
             )
         for chunk in other._hash_chunks:
-            self._insert(chunk)
+            # record BEFORE inserting: on a replay-cap failure mid-merge,
+            # recorded-but-uninserted keys are benign (a replay re-attempts
+            # them), while inserted-but-unrecorded keys would vanish from
+            # the next round-trip — a false negative
             self._append_chunk(np.asarray(chunk).copy())
+            self._insert(chunk)
         return self
 
     def params(self) -> dict:
@@ -319,6 +367,7 @@ class XXHFingerprintTable(Sketch):
             "limit": self.limit,
             "n_inserted": self.n_inserted,
             "remap_slots": self.remap_slots,
+            "max_replay_keys": self.max_replay_keys,
             # fmt "hashes": payload = raw uint64 hashes, replayed on load.
             # Legacy/interop payloads ("slots") deserialize probe-only.
             "fmt": "hashes" if self.replayable else "slots",
@@ -342,6 +391,7 @@ class XXHFingerprintTable(Sketch):
             params["size_bytes"],
             limit=params.get("limit"),
             remap_slots=params.get("remap_slots", False),
+            max_replay_keys=params.get("max_replay_keys", MAX_REPLAY_KEYS_DEFAULT),
         )
         if params.get("fmt", "slots") == "hashes":
             # rebuild by replaying the raw hashes from their true bases;

@@ -228,7 +228,10 @@ class TestBlfInterop:
         f.set(vals)
         path = str(tmp_path / "b.blf")
         write_blf(path, f)
-        assert read_header(open(path, "rb").read())["construction_type"] == 0
+        # r4: fp-rate-built filters persist their construction (type 1,
+        # rate in the header) so the Rust reload derives the same
+        # geometry; size-built filters still write type 0
+        assert read_header(open(path, "rb").read())["construction_type"] == 1
 
         back = read_blf(path)
         assert isinstance(back, ReferenceBloom)

@@ -331,3 +331,73 @@ class TestR4PackedBitmap:
         back.set(pd.Series(["new-key"]))  # must copy, not write the map
         assert bool(back.contains(pd.Series(["new-key"]))[0])
         assert open(p, "rb").read() == before
+
+
+class TestBloomErrorRateConstruction:
+    """r4: symmetric type-1 (BloomLinesAndErrorRate) interop — the Rust
+    binary reconstructs a type-1 file's geometry from (limit,
+    error_rate) alone (container_memory_bloom.rs:118-127), so our
+    writer must emit that type for fp-rate-built filters and the header
+    must satisfy the crate's size formula exactly."""
+
+    def test_fp_rate_filter_writes_type1_and_round_trips(self, tmp_path):
+        from bloom_spark.io.blf import (
+            CT_BLOOM_LINES_AND_ERROR_RATE,
+            HEADER_LEN,
+            read_blf,
+            read_header,
+            write_blf,
+        )
+        from bloom_spark.io.blf_bloom import (
+            ReferenceBloom,
+            compute_bitmap_size,
+        )
+
+        f = ReferenceBloom.new_for_fp_rate(3000, 1e-5)
+        vals = pd.Series([f"w{i}" for i in range(3000)])
+        f.set(vals)
+        p = str(tmp_path / "rate.blf")
+        write_blf(p, f)
+        hdr = read_header(open(p, "rb").read(HEADER_LEN))
+        assert hdr["construction_type"] == CT_BLOOM_LINES_AND_ERROR_RATE
+        assert hdr["error_rate"] == 1e-5
+        assert hdr["limit"] == 3000
+        # the crate's reload derives geometry from (limit, error_rate):
+        # header size must equal its formula's output
+        assert hdr["size"] == compute_bitmap_size(3000, 1e-5)
+        back = read_blf(p)
+        assert back.fp_rate == 1e-5
+        assert back.k_num == f.k_num
+        assert back.contains(vals).all()
+        # read -> write stays type 1 with identical header geometry
+        p2 = str(tmp_path / "rate2.blf")
+        write_blf(p2, back)
+        hdr2 = read_header(open(p2, "rb").read(HEADER_LEN))
+        assert hdr2 == hdr
+        assert read_blf(p2).contains(vals).all()
+
+    def test_size_filter_stays_type0(self, tmp_path):
+        from bloom_spark.io.blf import (
+            CT_BLOOM_LINES_AND_SIZE,
+            HEADER_LEN,
+            read_header,
+            write_blf,
+        )
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new(4096, 1000)
+        f.set(pd.Series(["only"]))
+        p = str(tmp_path / "size.blf")
+        write_blf(p, f)
+        hdr = read_header(open(p, "rb").read(HEADER_LEN))
+        assert hdr["construction_type"] == CT_BLOOM_LINES_AND_SIZE
+        assert hdr["error_rate"] == 0.0
+
+    def test_inconsistent_geometry_refused(self, tmp_path):
+        from bloom_spark.io.blf import write_blf
+        from bloom_spark.io.blf_bloom import ReferenceBloom
+
+        f = ReferenceBloom.new(4096, 1000)  # size-constructed bitmap
+        f.fp_rate = 1e-9  # claimed rate does NOT match 4096 bytes
+        with pytest.raises(ValueError, match="geometry"):
+            write_blf(str(tmp_path / "bad.blf"), f)

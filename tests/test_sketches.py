@@ -459,6 +459,35 @@ class TestXXHTable:
         assert sum(len(c) for c in m._hash_chunks) <= 2 * 60_000 + (1 << 16)
         assert m.contains_hashes(h[:60_000]).all()
 
+    def test_replay_cap_refuses_loudly_and_cleanly(self):
+        """r3 verdict #8: the mergeable replay history is O(distinct
+        keys) (8 B/key) — past max_replay_keys the update must FAIL
+        with a message pointing at BloomSketch, leaving the table state
+        untouched by the offending batch, and the cap must survive
+        serde."""
+        t = XXHFingerprintTable(size_bytes=1 << 20, max_replay_keys=100)
+        ok = _strings("ok", 80)
+        t.update(ok)
+        with pytest.raises(ValueError, match="BloomSketch"):
+            t.update(_strings("over", 200))
+        # the refused batch left no trace: members intact, nothing from
+        # the over-cap batch inserted, history still within cap
+        assert t.contains(ok).all()
+        assert not t.contains(_strings("over", 200)).any()
+        assert t._n_recorded <= 100
+        # near-cap batches that CONSOLIDATE under the cap still work
+        t.update(ok)  # pure duplicates: distinct count unchanged
+        assert t.contains(ok).all()
+        # cap survives a round-trip
+        back = XXHFingerprintTable.from_bytes(t.to_bytes())
+        assert back.max_replay_keys == 100
+        with pytest.raises(ValueError, match="max_replay_keys"):
+            back.update(_strings("over", 200))
+        # opt-out accepts the growth explicitly
+        u = XXHFingerprintTable(size_bytes=1 << 20, max_replay_keys=None)
+        u.update(_strings("big", 5000))
+        assert u.contains(_strings("big", 5000)).all()
+
     def test_probe_only_table_refuses_merge(self):
         a = XXHFingerprintTable(size_bytes=1 << 14)
         a.update(_strings("a", 100))
