@@ -1100,6 +1100,65 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated big-big join (ops.join.bloom_join): lineitem
+    probe side is pre-filtered against a Bloom filter built over the
+    URGENT orders' keys BEFORE the join shuffle, so non-matching line
+    items never reach the exchange. Exact (zero false negatives; false
+    positives die in the real join). Integer-only aggregates so the
+    oracle hashes bit-identically."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops import bloom_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    urgent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    joined = bloom_join(spark, li, urgent, ["l_orderkey"], how="inner", fpr=1e-9)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+        F.sum(F.floor(F.col("l_quantity")).cast("long")).alias("qty_sum"),
+    )
+
+
+def q_bottomk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language bottom-k sample (ops.sampling): rank
+    docs by a deterministic hash of doc_id, keep the 5 smallest per
+    lang. Mergeable/map-side-combinable (per-partition pre-trim), stable
+    under repartitioning, join-consistent across tables. Production
+    rank is xxhash64; the query uses an arithmetic Knuth hash that
+    DuckDB replays bit-identically."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops import bottom_k_sample
+
+    docs = _docs(spark, sf_dir)
+    rank = F.expr("(doc_id * 2654435761) % 4294967296")
+    out = bottom_k_sample(
+        docs, ["lang"], k=5, rank=rank, id_cols=["doc_id"], pre_trim=True
+    )
+    return out.select("lang", "doc_id", "n_chars")
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (ops.spans, Lee et al. 2022
+    ExactSubstr re-shaped for a cluster): every 30-char sliding window
+    per doc, windows verbatim-shared across ≥2 distinct docs counted
+    per doc. ``hash_spans=False`` here so DuckDB replays the grouping
+    on the span strings exactly; production groups on xxhash64(span)."""
+    from bloom_spark.ops import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_spans(
+        docs, "doc_id", "text", span_len=30, stride=1, min_docs=2,
+        hash_spans=False,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bloom_anti_filter(spark, "/root/testdata/sf0.001")
@@ -1151,6 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "multimodal_decode": q_multimodal_decode,
         "pages_pipeline": q_pages_pipeline,
+        "bloom_prejoin": q_bloom_prejoin,
+        "bottomk_sample": q_bottomk_sample,
+        "dup_spans": q_dup_spans,
     }
 
 
@@ -1568,4 +1630,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pages_pipeline: generator is xxhash64-based — exact counts not
         # expressible in ANSI SQL; partial oracle (invariant booleans).
+        "bloom_prejoin": """
+            SELECT l_returnflag,
+                   count(*) AS n_items,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS qty_sum
+            FROM lineitem
+            JOIN (SELECT o_orderkey FROM orders
+                  WHERE o_orderpriority = '1-URGENT') o
+              ON l_orderkey = o_orderkey
+            GROUP BY l_returnflag
+        """,
+        "bottomk_sample": """
+            WITH ranked AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                     ) AS rn
+              FROM documents)
+            SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 5
+        """,
+        "dup_spans": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 30
+            ), spans AS (
+              SELECT doc_id, substr(text, CAST(i AS INT), 30) AS span
+              FROM docs, UNNEST(generate_series(1, length(text) - 29)) AS t(i)
+            ), shared AS (
+              SELECT span FROM spans
+              GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS dup_spans
+              FROM spans JOIN shared USING (span) GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS total_spans FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.total_spans,
+                   coalesce(p.dup_spans, 0) AS dup_spans,
+                   coalesce(p.dup_spans, 0) / t.total_spans AS dup_frac
+            FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        """,
     }

@@ -43,9 +43,19 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     # Warm up JVM + python workers so per-query timings measure the job,
-    # not executor spin-up.
+    # not executor spin-up. The selectExpr leg exercises codegen; the
+    # mapInPandas leg forks the Python worker pool + Arrow IPC once per
+    # core so the first sketch query doesn't absorb that spin-up.
     spark.range(0, 1_000_000, numPartitions=cpus).selectExpr(
         "max(xxhash64(id))"
+    ).collect()
+
+    def _warm(batches):
+        for b in batches:
+            yield b[["id"]]
+
+    spark.range(0, cpus * 4, numPartitions=cpus).mapInPandas(
+        _warm, "id long"
     ).collect()
 
     timings: dict[str, float] = {}

@@ -1,0 +1,223 @@
+"""Tests for ops.join (bloom_join), ops.sampling (bottom_k_sample),
+and ops.spans (duplicate_spans)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bloom_spark.ops import (
+    bloom_join,
+    bottom_k_sample,
+    doc_spans,
+    duplicate_spans,
+    hash_rank,
+)
+from bloom_spark.sketch import BloomSketch
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+# --------------------------------------------------------------------- join
+
+
+@pytest.fixture(scope="module")
+def join_sides(spark):
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("lv")
+    )
+    # right keys overlap on multiples of 7 only; some right-only keys too
+    right = spark.range(0, 600).select(
+        (F.col("id") * 7).alias("k"), (F.col("id") % 5).alias("rv")
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left_semi", "left_anti", "left_outer"])
+def test_bloom_join_matches_plain_join(spark, join_sides, how):
+    left, right = join_sides
+    got = bloom_join(spark, left, right, ["k"], how=how, fpr=1e-6)
+    want = left.join(right, ["k"], how)
+    assert sorted(got.columns) == sorted(want.columns)
+    cols = sorted(got.columns)
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_bloom_join_exact_even_at_high_fpr(spark, join_sides):
+    # false positives must be removed by the real join: crank fpr way up
+    left, right = join_sides
+    got = bloom_join(spark, left, right, ["k"], how="inner", fpr=0.5)
+    want = left.join(right, ["k"], "inner")
+    assert _rows(got, "k", "lv", "rv") == _rows(want, "k", "lv", "rv")
+
+
+def test_bloom_join_prebuilt_sketch_and_path(spark, join_sides, tmp_path):
+    from bloom_spark.ops.build import build_sketch
+
+    left, right = join_sides
+    sk, _ = build_sketch(right, ["k"], lambda: BloomSketch.from_fpr(600, 1e-6))
+    want = _rows(left.join(right, ["k"], "left_semi"), "k", "lv")
+
+    got_mem = bloom_join(spark, left, right, ["k"], "left_semi", sketch=sk)
+    assert _rows(got_mem, "k", "lv") == want
+
+    p = str(tmp_path / "keys.bloom")
+    with open(p, "wb") as fh:
+        fh.write(sk.to_bytes())
+    got_path = bloom_join(spark, left, right, ["k"], "left_semi", sketch=p)
+    assert _rows(got_path, "k", "lv") == want
+
+
+def test_bloom_join_rejects_unsupported_how(spark, join_sides):
+    left, right = join_sides
+    with pytest.raises(ValueError, match="bloom_join supports"):
+        bloom_join(spark, left, right, ["k"], how="full_outer")
+
+
+# ----------------------------------------------------------------- sampling
+
+
+@pytest.fixture(scope="module")
+def grouped_rows(spark):
+    return spark.range(0, 5000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 7).cast("string").alias("g"),
+        (F.col("id") * 11 % 997).alias("v"),
+    )
+
+
+def _window_reference(df, k):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy(F.xxhash64("rid"), "rid")
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+@pytest.mark.parametrize("pre_trim", [True, False])
+def test_bottom_k_matches_window_reference(grouped_rows, pre_trim):
+    got = bottom_k_sample(
+        grouped_rows, ["g"], k=9, id_cols=["rid"], pre_trim=pre_trim
+    )
+    want = _window_reference(grouped_rows, 9)
+    assert _rows(got, "g", "rid", "v") == _rows(want, "g", "rid", "v")
+
+
+def test_bottom_k_stable_under_repartition(grouped_rows):
+    a = bottom_k_sample(grouped_rows, ["g"], k=4, id_cols=["rid"])
+    b = bottom_k_sample(
+        grouped_rows.repartition(17, "v"), ["g"], k=4, id_cols=["rid"]
+    )
+    assert _rows(a, "g", "rid") == _rows(b, "g", "rid")
+
+
+def test_bottom_k_mergeable(spark, grouped_rows):
+    # bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — the partial-
+    # sketch property that makes the pre-trim (and cross-batch folds)
+    # correct
+    a = grouped_rows.where(F.col("rid") < 2500)
+    b = grouped_rows.where(F.col("rid") >= 2500)
+    whole = bottom_k_sample(grouped_rows, ["g"], k=6, id_cols=["rid"])
+    merged = bottom_k_sample(
+        bottom_k_sample(a, ["g"], k=6, id_cols=["rid"]).unionByName(
+            bottom_k_sample(b, ["g"], k=6, id_cols=["rid"])
+        ),
+        ["g"],
+        k=6,
+        id_cols=["rid"],
+    )
+    assert _rows(whole, "g", "rid") == _rows(merged, "g", "rid")
+
+
+def test_bottom_k_small_groups_kept_whole(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "g string, rid long"
+    )
+    got = bottom_k_sample(df, ["g"], k=10, id_cols=["rid"])
+    assert got.count() == 3
+
+
+def test_bottom_k_requires_deterministic_rank(grouped_rows):
+    with pytest.raises(ValueError, match="deterministic"):
+        bottom_k_sample(grouped_rows, ["g"], k=3)
+
+
+def test_hash_rank_is_xxhash64(spark):
+    df = spark.createDataFrame([(1,), (2,)], "rid long")
+    got = df.select(hash_rank(["rid"]).alias("h"), F.xxhash64("rid").alias("x"))
+    assert all(r.h == r.x for r in got.collect())
+
+
+# -------------------------------------------------------------------- spans
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    boiler = "ALL RIGHTS RESERVED COPYRIGHT NOTICE FOOTER"  # 43 chars
+    rows = [
+        (1, "unique text one with nothing shared at all here body"),
+        (2, "prefix article text " + boiler + " suffix tail body"),
+        (3, "totally different page " + boiler + " other ending"),
+        (4, "short"),  # below span_len: no windows
+        (5, "another fully unique document body with no repeats in"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_spans_positions_and_short_doc(span_docs):
+    got = doc_spans(span_docs, "doc_id", "text", span_len=30, stride=1)
+    by_doc = {
+        r.doc_id: r.n
+        for r in got.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert 4 not in by_doc  # shorter than the window
+    texts = {r.doc_id: r.text for r in span_docs.collect()}
+    for d, n in by_doc.items():
+        assert n == len(texts[d]) - 30 + 1
+    first = got.where((F.col("doc_id") == 1) & (F.col("pos") == 1)).first()
+    assert first.span == texts[1][:30]
+
+
+def test_doc_spans_stride(span_docs):
+    got = doc_spans(span_docs, "doc_id", "text", span_len=30, stride=7)
+    pos = [r.pos for r in got.where(F.col("doc_id") == 1).collect()]
+    assert pos == list(range(1, len("unique text one with nothing shared at all here body") - 29, 7))
+
+
+def test_duplicate_spans_finds_boilerplate(span_docs):
+    got = duplicate_spans(
+        span_docs, "doc_id", "text", span_len=30, stride=1, hash_spans=False
+    )
+    rows = {r.doc_id: r for r in got.collect()}
+    # docs 2 and 3 share " "+boilerplate+" " (45 chars, the flanking
+    # spaces are shared too) → 45-30+1 = 16 windows each; unique docs 0
+    assert rows[2].dup_spans == 16
+    assert rows[3].dup_spans == 16
+    assert rows[1].dup_spans == 0
+    assert rows[5].dup_spans == 0
+    assert 4 not in rows
+    assert rows[2].dup_frac == pytest.approx(16 / rows[2].total_spans)
+
+
+def test_duplicate_spans_hash_path_matches_string_path(span_docs):
+    a = duplicate_spans(span_docs, "doc_id", "text", 30, 1, hash_spans=True)
+    b = duplicate_spans(span_docs, "doc_id", "text", 30, 1, hash_spans=False)
+    cols = ["doc_id", "total_spans", "dup_spans"]
+    assert _rows(a, *cols) == _rows(b, *cols)
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
+    # a doc repeating its own 30-gram is NOT cross-doc duplication
+    text = "Z" * 35 + " middle filler words here " + "Z" * 35
+    df = spark.createDataFrame(
+        [(1, text), (2, "entirely unrelated other document text body")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.dup_spans for r in
+           duplicate_spans(df, "doc_id", "text", 30, 1).collect()}
+    assert got[1] == 0 and got[2] == 0
