@@ -50,7 +50,13 @@ def materialize(n_rows: int, partitions: int) -> str:
 
 
 def run_worker(
-    cpus: int, n_rows: int, partitions: int, fpr: float, job_kind: str = "filter"
+    cpus: int,
+    n_rows: int,
+    partitions: int,
+    fpr: float,
+    job_kind: str = "filter",
+    repeats: int = 2,
+    stat: str = "min",
 ) -> None:
     """One timed dedup job at local[cpus]; prints one JSON line.
 
@@ -137,14 +143,17 @@ def run_worker(
     # (what the cluster criterion is about) without paying full wall time
     # twice.
     job(batch_a.limit(200_000), batch_b.limit(100_000))
-    # time 2 full runs, keep the faster: single runs on a shared box jitter
-    # 20-30% (page cache, GC, cpufreq); the min is the steady-state figure
-    # the cluster criterion is about
-    dt = float("inf")
-    for _ in range(2):
+    # time `repeats` full runs and report min (steady-state: single runs
+    # on a shared box jitter 20-30% — page cache, GC, cpufreq) or median
+    # (robust central estimate; the r3 review's pinned protocol is
+    # --repeats 3 --stat median, reported per leg alongside all raw
+    # walls so the spread itself is on record)
+    walls: list[float] = []
+    for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
         n_seen, survivors = job(batch_a, batch_b)
-        dt = min(dt, time.perf_counter() - t0)
+        walls.append(time.perf_counter() - t0)
+    dt = sorted(walls)[len(walls) // 2] if stat == "median" else min(walls)
     n_probed = pages.where(f"page_id >= {n_rows}").count()
     docs = n_seen + n_probed
     print(
@@ -152,6 +161,8 @@ def run_worker(
             {
                 "cpus": cpus,
                 "wall_s": round(dt, 3),
+                "walls_all": [round(w, 3) for w in walls],
+                "stat": stat,
                 "docs": int(docs),
                 "docs_per_sec": round(docs / dt, 1),
                 "survivors": int(survivors),
@@ -174,6 +185,8 @@ def main() -> None:
     ap.add_argument(
         "--job", choices=["filter", "filter_mono", "dedup"], default="filter"
     )
+    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--stat", choices=["min", "median"], default="min")
     args = ap.parse_args()
 
     # Benches opt IN to RAM-backed shuffle scratch (session.get_session no
@@ -183,7 +196,10 @@ def main() -> None:
     os.environ.setdefault("BLOOM_SPARK_SHM_SCRATCH", "1")
 
     if args.worker:
-        run_worker(args.cpus, args.rows, args.partitions, args.fpr, args.job)
+        run_worker(
+            args.cpus, args.rows, args.partitions, args.fpr, args.job,
+            repeats=args.repeats, stat=args.stat,
+        )
         return
 
     materialize(args.rows, args.partitions)
@@ -204,6 +220,10 @@ def main() -> None:
                 str(args.fpr),
                 "--job",
                 args.job,
+                "--repeats",
+                str(args.repeats),
+                "--stat",
+                args.stat,
             ],
             capture_output=True,
             text=True,
@@ -227,6 +247,8 @@ def main() -> None:
                 "partitions": args.partitions,
                 "fpr": args.fpr,
                 "job": args.job,
+                "repeats": args.repeats,
+                "stat": args.stat,
             }
         ),
         flush=True,
