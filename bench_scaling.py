@@ -187,6 +187,16 @@ def main() -> None:
     )
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--stat", choices=["min", "median"], default="min")
+    ap.add_argument(
+        "--paired",
+        action="store_true",
+        help="interleave the legs — run (low, high) back to back per "
+        "repeat and report the MEDIAN OF PER-REPEAT RATIOS. Robust to "
+        "box-level slow phases (hypervisor throttling, cpufreq ramp) "
+        "that span minutes: a slow phase hits both legs of a pair and "
+        "cancels in the ratio, where the sequential protocol attributes "
+        "it wholly to one leg.",
+    )
     args = ap.parse_args()
 
     # Benches opt IN to RAM-backed shuffle scratch (session.get_session no
@@ -203,8 +213,8 @@ def main() -> None:
         return
 
     materialize(args.rows, args.partitions)
-    results = {}
-    for cpus in (args.low, args.high):
+
+    def spawn(cpus: int, repeats: int) -> dict:
         out = subprocess.run(
             [
                 sys.executable,
@@ -221,7 +231,7 @@ def main() -> None:
                 "--job",
                 args.job,
                 "--repeats",
-                str(args.repeats),
+                str(repeats),
                 "--stat",
                 args.stat,
             ],
@@ -230,8 +240,47 @@ def main() -> None:
             cwd=REPO,
             check=True,
         )
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
+    if args.paired:
+        pairs = [
+            (spawn(args.low, 1), spawn(args.high, 1))
+            for _ in range(max(1, args.repeats))
+        ]
+        ratio = args.high / args.low
+        effs = sorted(
+            (p_lo["wall_s"] / p_hi["wall_s"]) / ratio for p_lo, p_hi in pairs
+        )
+        med = effs[len(effs) // 2]
+        i = [
+            (p_lo["wall_s"] / p_hi["wall_s"]) / ratio for p_lo, p_hi in pairs
+        ].index(med)
+        lo, hi = dict(pairs[i][0]), dict(pairs[i][1])
+        lo["walls_all"] = [p[0]["wall_s"] for p in pairs]
+        hi["walls_all"] = [p[1]["wall_s"] for p in pairs]
+        print(
+            json.dumps(
+                {
+                    "metric": "dedup throughput scaling "
+                    "(local[N] vs local[4N], paired legs)",
+                    "low": lo,
+                    "high": hi,
+                    "per_repeat_efficiency": [round(e, 3) for e in effs],
+                    "speedup": round(med * ratio, 3),
+                    "scaling_efficiency": round(med, 3),
+                    "rows": args.rows,
+                    "partitions": args.partitions,
+                    "fpr": args.fpr,
+                    "job": args.job,
+                    "repeats": args.repeats,
+                    "stat": "median-of-paired-ratios",
+                }
+            ),
+            flush=True,
+        )
+        return
+
+    results = {cpus: spawn(cpus, args.repeats) for cpus in (args.low, args.high)}
     lo, hi = results[args.low], results[args.high]
     speedup = hi["docs_per_sec"] / lo["docs_per_sec"]
     efficiency = speedup / (args.high / args.low)
