@@ -142,7 +142,26 @@ def run_worker(
     # a long job amortizes; the timed run measures steady-state throughput
     # (what the cluster criterion is about) without paying full wall time
     # twice.
+    def canary() -> float:
+        """Fixed single-thread numpy workload (~1 s on this host when
+        quiet): a host-speed probe recorded before and after the timed
+        runs. The sandbox host throttles guest CPU in phases (measured
+        8x on first-touch, 1.4-2x sustained); a leg whose canaries
+        disagree with its partner leg's was measured on effectively
+        different hardware — the report makes that visible instead of
+        silently folding it into the efficiency ratio."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        arr = rng.random(12_000_000)
+        np.sort(arr)  # absorb first-touch ramp
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.sort(arr)
+        return round(time.perf_counter() - t0, 3)
+
     job(batch_a.limit(200_000), batch_b.limit(100_000))
+    canary_before = canary()
     # time `repeats` full runs and report min (steady-state: single runs
     # on a shared box jitter 20-30% — page cache, GC, cpufreq) or median
     # (robust central estimate; the r3 review's pinned protocol is
@@ -163,6 +182,7 @@ def run_worker(
                 "wall_s": round(dt, 3),
                 "walls_all": [round(w, 3) for w in walls],
                 "stat": stat,
+                "host_canary_s": [canary_before, canary()],
                 "docs": int(docs),
                 "docs_per_sec": round(docs / dt, 1),
                 "survivors": int(survivors),

@@ -70,11 +70,12 @@ def duplicate_spans(
     documents. Downstream policy is the caller's (drop the doc, cut the
     region, weight the loss) — this op produces the signal.
 
-    Plan: spans → [optional xxhash64] → groupBy span key with
-    count(distinct id) (partial aggregation map-side) → broadcast-free
-    semi-identification via a second aggregation joined back on the
-    span key. Two shuffles on the span key total, both with map-side
-    combine; nothing driver-side.
+    Plan: spans → [optional xxhash64] → one aggregation on the span key
+    (count distinct docs, map-side partial) → shared keys joined back
+    onto the span rows (the join reuses the key partitioning from the
+    aggregation side) → ONE per-doc aggregation computing total and
+    dup counts together. Two key shuffles + one doc shuffle total;
+    nothing driver-side, no whole-group materialization.
     """
     spans = doc_spans(df, id_col, text_col, span_len, stride)
     key = F.xxhash64("span") if hash_spans else F.col("span")
@@ -84,21 +85,11 @@ def duplicate_spans(
         keyed.groupBy("__sk")
         .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
         .where(F.col("__ndocs") >= min_docs)
-        .select("__sk")
+        .select("__sk", F.lit(True).alias("__dup"))
     )
-    per_doc = keyed.join(shared, "__sk", "left_semi").groupBy(id_col).agg(
-        F.count("*").alias("dup_spans")
-    )
-    totals = keyed.groupBy(id_col).agg(F.count("*").alias("total_spans"))
-    return (
-        totals.join(per_doc, id_col, "left_outer")
-        .select(
-            id_col,
-            "total_spans",
-            F.coalesce(F.col("dup_spans"), F.lit(0)).alias("dup_spans"),
-            (
-                F.coalesce(F.col("dup_spans"), F.lit(0))
-                / F.col("total_spans")
-            ).alias("dup_frac"),
-        )
+    flagged = keyed.join(shared, "__sk", "left_outer")
+    return flagged.groupBy(id_col).agg(
+        F.count("*").alias("total_spans"),
+        F.count("__dup").alias("dup_spans"),
+        (F.count("__dup") / F.count("*")).alias("dup_frac"),
     )
