@@ -43,6 +43,12 @@ MANIFEST = "manifest.json"
 
 _MANIFEST_SCHEMA = "shard long, n_rows long, n_bytes long"
 
+# build-side accumulation granularity: hashes are buffered to this many
+# rows before one argsort + per-shard scatter (one update_hashes call per
+# shard per flush). Bounds task memory at FLUSH_ROWS x 16 B regardless of
+# partition size; module-level so tests can pin multi-flush behavior.
+FLUSH_ROWS = 2_000_000
+
 
 def shard_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard_{shard:05d}.sk")
@@ -65,6 +71,7 @@ def build_sharded_bloom(
     the union of shards costs ≈ one global filter.
     """
     os.makedirs(out_dir, exist_ok=True)
+    flush_rows = FLUSH_ROWS  # captured at call time so tests can pin it
     n_part = max(4096, -(-int(expected_n) // n_shards) * 2)
     # the shard id is NOT materialized as a shuffle column: the exchange
     # partitions on the pmod expression directly (16 B/row on the wire
@@ -79,12 +86,10 @@ def build_sharded_bloom(
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sketches: dict[int, BloomSketch] = {}
         counts: dict[int, int] = {}
-        # accumulate Arrow batches and flush every ~2M rows: one argsort +
-        # one scatter per shard per flush, instead of a pandas groupby +
-        # up to n_shards tiny update_hashes calls per 10k-row batch.
-        # Memory stays bounded (FLUSH_ROWS × 16 B ≈ 32 MB) regardless of
-        # partition size — the 100 TB-safe shape.
-        FLUSH_ROWS = 2_000_000
+        # accumulate Arrow batches and flush every FLUSH_ROWS rows: one
+        # argsort + one scatter per shard per flush, instead of a pandas
+        # groupby + up to n_shards tiny update_hashes calls per 10k-row
+        # batch — the 100 TB-safe shape.
         acc1: list[np.ndarray] = []
         acc2: list[np.ndarray] = []
         acc_n = 0
@@ -115,7 +120,7 @@ def build_sharded_bloom(
             acc1.append(to_uint64(pdf[H1_COL]))
             acc2.append(to_uint64(pdf[H2_COL]))
             acc_n += len(pdf)
-            if acc_n >= FLUSH_ROWS:
+            if acc_n >= flush_rows:
                 flush()
         flush()
         rows = {"shard": [], "n_rows": [], "n_bytes": []}

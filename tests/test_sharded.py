@@ -117,6 +117,28 @@ class TestShardedFilter:
         assert dedup_against_filter(spark, b, ["text"], out_dir).count() == 0
         assert dedup_against_filter(spark, a, ["text"], out_dir).count() == 50
 
+    def test_multi_flush_parity(self, spark, tmp_path, monkeypatch):
+        """The build buffers hashes and flushes every FLUSH_ROWS rows;
+        crossing the boundary mid-partition (several flushes, the last
+        one partial) must produce the same artifact semantics as one
+        flush: zero false negatives, manifest counts intact."""
+        import bloom_spark.ops.sharded as sharded_mod
+
+        monkeypatch.setattr(sharded_mod, "FLUSH_ROWS", 64)
+        df = spark.createDataFrame(
+            [(i, f"k{i}") for i in range(500)], "id long, text string"
+        ).coalesce(1)  # one partition → 500 rows / 64 → 8 flushes
+        out_dir = str(tmp_path / "mf")
+        manifest = sharded_mod.build_sharded_bloom(
+            df, ["text"], out_dir, n_shards=4, expected_n=600, fpr=1e-9
+        )
+        assert sum(e["n_rows"] for e in manifest["shards"]) == 500
+        assert dedup_against_filter(spark, df, ["text"], out_dir).count() == 0
+        other = spark.createDataFrame(
+            [(i, f"x{i}") for i in range(500)], "id long, text string"
+        )
+        assert dedup_against_filter(spark, other, ["text"], out_dir).count() == 500
+
     def test_shard_routing_consistent(self, spark, artifact):
         """The probe's numpy pmod must equal the build's JVM pmod: every
         member key must hit ITS shard (a routing skew would show up as
