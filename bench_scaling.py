@@ -281,7 +281,7 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "dedup throughput scaling "
+                    "metric": f"{args.job} throughput scaling "
                     "(local[N] vs local[4N], paired legs)",
                     "low": lo,
                     "high": hi,
@@ -307,7 +307,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "dedup throughput scaling (local[N] vs local[4N])",
+                "metric": f"{args.job} throughput scaling (local[N] vs local[4N])",
                 "low": lo,
                 "high": hi,
                 "speedup": round(speedup, 3),
