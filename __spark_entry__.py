@@ -1159,6 +1159,59 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sharded_update_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental artifact update (ops.sharded.update_sharded_bloom) —
+    the reference CLI's flagship loop (load filter → check_and_set each
+    line → write filter back, process.rs:134-180) as a copy-on-update
+    job over the sharded artifact: base filter knows src0's texts; the
+    update streams EVERY doc twice (each text duplicated within the
+    batch), emits only first occurrences of texts absent from the base,
+    and writes the v2 shard files executor-side. Exact at fpr 1e-9."""
+    import tempfile
+
+    from bloom_spark.ops import build_sharded_bloom, update_sharded_bloom
+
+    docs = _docs(spark, sf_dir)
+    seen = docs.where(docs.source == "src0")
+    base = tempfile.mkdtemp(prefix="bs_upd_base_")
+    v2 = tempfile.mkdtemp(prefix="bs_upd_v2_")
+    surv = tempfile.mkdtemp(prefix="bs_upd_surv_")
+    build_sharded_bloom(seen, ["text"], base, n_shards=8,
+                        expected_n=1000, fpr=1e-9)
+    update_sharded_bloom(
+        docs.unionAll(docs).select("doc_id", "text"),
+        ["text"], base, v2, survivors_dir=surv, order_col="doc_id",
+    )
+    return spark.read.parquet(surv).select("doc_id", "text")
+
+
+def q_sharded_merge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-wise artifact union (ops.sharded.merge_sharded_artifacts):
+    per-source filters (e.g. per-crawl-day) built independently, merged
+    bitmap-OR by one task per shard, then probed as one artifact. The
+    anti-filter against the merge equals the anti-join against the
+    union of both sources' texts (exact at fpr 1e-9)."""
+    import tempfile
+
+    from bloom_spark.ops import (
+        build_sharded_bloom,
+        dedup_against_filter,
+        merge_sharded_artifacts,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d0 = tempfile.mkdtemp(prefix="bs_m0_")
+    d1 = tempfile.mkdtemp(prefix="bs_m1_")
+    dm = tempfile.mkdtemp(prefix="bs_mm_")
+    build_sharded_bloom(docs.where(docs.source == "src0"), ["text"], d0,
+                        n_shards=8, expected_n=1000, fpr=1e-9)
+    build_sharded_bloom(docs.where(docs.source == "src1"), ["text"], d1,
+                        n_shards=8, expected_n=1000, fpr=1e-9)
+    merge_sharded_artifacts(spark, [d0, d1], dm)
+    out = dedup_against_filter(spark, docs, ["text"], dm)
+    return out.select("doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bloom_anti_filter(spark, "/root/testdata/sf0.001")
@@ -1213,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prejoin": q_bloom_prejoin,
         "bottomk_sample": q_bottomk_sample,
         "dup_spans": q_dup_spans,
+        "sharded_update_dedup": q_sharded_update_dedup,
+        "sharded_merge_filter": q_sharded_merge_filter,
     }
 
 
@@ -1671,5 +1726,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.dup_spans, 0) AS dup_spans,
                    coalesce(p.dup_spans, 0) / t.total_spans AS dup_frac
             FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        """,
+        "sharded_update_dedup": """
+            WITH seen AS (
+              SELECT DISTINCT text FROM documents WHERE source = 'src0'
+            ), fresh AS (
+              SELECT d.doc_id, d.text
+              FROM documents d LEFT JOIN seen s ON d.text = s.text
+              WHERE s.text IS NULL
+            )
+            SELECT min(doc_id) AS doc_id, text FROM fresh GROUP BY text
+        """,
+        "sharded_merge_filter": """
+            WITH seen AS (
+              SELECT DISTINCT text FROM documents
+              WHERE source IN ('src0', 'src1')
+            )
+            SELECT d.doc_id, d.text
+            FROM documents d LEFT JOIN seen s ON d.text = s.text
+            WHERE s.text IS NULL
         """,
     }

@@ -21,7 +21,9 @@ from bloom_spark.ops.cascade import (  # noqa: F401
 from bloom_spark.ops.sharded import (  # noqa: F401
     build_sharded_bloom,
     is_sharded_artifact,
+    merge_sharded_artifacts,
     sharded_membership_udf,
+    update_sharded_bloom,
 )
 from bloom_spark.ops.checkpoint import SketchCheckpoint  # noqa: F401
 from bloom_spark.ops.dedup import (  # noqa: F401

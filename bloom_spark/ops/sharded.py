@@ -211,3 +211,248 @@ def sharded_membership_udf(out_dir: str):
 
 def is_sharded_artifact(path: str) -> bool:
     return os.path.isdir(path) and os.path.exists(os.path.join(path, MANIFEST))
+
+
+def _read_manifest(art_dir: str) -> dict:
+    with open(os.path.join(art_dir, MANIFEST)) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(out_dir, MANIFEST + f".tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, MANIFEST))
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link when the filesystem allows (instant, shares blocks);
+    fall back to a byte copy. Used for shards an update never touched."""
+    import shutil
+
+    if os.path.exists(dst):
+        return
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copyfile(src, dst)
+
+
+def update_sharded_bloom(
+    df: DataFrame,
+    cols: list[str],
+    in_dir: str,
+    out_dir: str,
+    survivors_dir: str | None = None,
+    order_col: str | None = None,
+) -> dict:
+    """Incremental ``check_and_set`` update of a sharded artifact — the
+    reference CLI's flagship loop (load filter file → check_and_set each
+    line → write filter back, process.rs:134-180) at the 10^12-key
+    artifact scale.
+
+    Copy-on-update: tasks READ shards from ``in_dir`` and WRITE updated
+    shards to ``out_dir`` (must differ), so a retried or speculatively
+    re-executed task re-reads the pristine input shard and reproduces
+    byte-identical output — in-place mutation would make retries
+    non-idempotent (the second execution would see its own writes and
+    emit zero survivors). ``in_dir`` stays valid as a snapshot; callers
+    wanting in-place semantics rename afterwards.
+
+    One exchange routes the batch's rows to their shard (``pmod(h1,
+    S)`` — the build's routing); each task loads its shards' filters
+    (writable copy of the file bytes), streams ``check_and_set`` over
+    the Arrow batches in partition order (``order_col`` sorts within the
+    partition for exact first-occurrence-wins), writes the updated shard
+    atomically, and — when ``survivors_dir`` is given — writes the rows
+    whose key was NOT already present as one parquet part file per task
+    (atomic rename; a retry overwrites with identical content). The
+    driver only collects the S'-row delta manifest and hard-links the
+    untouched shards into ``out_dir``.
+
+    Returns the new manifest. Survivors (if requested) are read with
+    ``spark.read.parquet(survivors_dir)``.
+
+    Single-writer per artifact version, like the reference's file: two
+    concurrent updates writing the same ``out_dir`` race on shard files.
+    """
+    if os.path.abspath(in_dir) == os.path.abspath(out_dir):
+        raise ValueError(
+            "update_sharded_bloom is copy-on-update: out_dir must differ "
+            "from in_dir (rename afterwards for in-place semantics)"
+        )
+    manifest = _read_manifest(in_dir)
+    n_shards = int(manifest["n_shards"])
+    n_part = int(manifest["per_shard_capacity"])
+    fpr = float(manifest["fpr"])
+    os.makedirs(out_dir, exist_ok=True)
+    if survivors_dir is not None:
+        os.makedirs(survivors_dir, exist_ok=True)
+
+    out_cols = df.columns
+    hashed = with_hash_columns(df, cols)
+    if survivors_dir is None:
+        hashed = hashed.select(H1_COL, H2_COL)
+    hashed = hashed.repartition(n_shards, F.pmod(F.col(H1_COL), F.lit(n_shards)))
+    if order_col is not None:
+        hashed = hashed.sortWithinPartitions(order_col)
+
+    def upd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        sketches: dict[int, BloomSketch] = {}
+        fresh_counts: dict[int, int] = {}
+        survivors: list[pd.DataFrame] = []
+
+        def shard_sketch(s: int) -> BloomSketch:
+            sk = sketches.get(s)
+            if sk is None:
+                path = shard_path(in_dir, s)
+                if os.path.exists(path):
+                    # plain read (not mmap): the whole shard is about to
+                    # be mutated, so the copy is paid either way
+                    with open(path, "rb") as f:
+                        sk = sketch_from_bytes(f.read())
+                else:  # no keys ever routed here in the base artifact
+                    sk = BloomSketch.from_fpr(n_part, fpr, limit=None)
+                sketches[s] = sk
+                fresh_counts[s] = 0
+            return sk
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h1 = to_uint64(pdf[H1_COL])
+            h2 = to_uint64(pdf[H2_COL])
+            shards = h1.view(np.int64) % n_shards
+            order = np.argsort(shards, kind="stable")
+            ss = shards[order]
+            bounds = np.flatnonzero(np.diff(ss)) + 1
+            seen = np.empty(len(pdf), dtype=bool)
+            for seg in np.split(order, bounds):
+                s = int(shards[seg[0]])
+                sk = shard_sketch(s)
+                seen[seg] = sk.check_and_set_hashes(h1[seg], h2[seg])
+                fresh_counts[s] += int((~seen[seg]).sum())
+            if survivors_dir is not None:
+                fresh = pdf.loc[~seen, out_cols]
+                if len(fresh):
+                    survivors.append(fresh)
+
+        rows = {"shard": [], "n_rows": [], "n_bytes": []}
+        for s, sk in sketches.items():
+            blob = sk.densify().to_bytes()
+            tmp = shard_path(out_dir, s) + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, shard_path(out_dir, s))
+            rows["shard"].append(s)
+            rows["n_rows"].append(fresh_counts[s])
+            rows["n_bytes"].append(len(blob))
+        if survivors_dir is not None and survivors:
+            # no part file for partitions with zero survivors — an
+            # empty pandas frame has no dtypes to write and absent
+            # files read back as zero rows anyway
+            pid = TaskContext.get().partitionId()
+            part = os.path.join(survivors_dir, f"part-{pid:05d}.parquet")
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            out = pd.concat(survivors, ignore_index=True)
+            tmp = part + f".tmp{os.getpid()}"
+            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+            os.replace(tmp, part)
+        if rows["shard"]:
+            yield pd.DataFrame(rows)
+
+    entries = hashed.mapInPandas(upd, _MANIFEST_SCHEMA).collect()
+    touched = {int(r["shard"]): r for r in entries}
+    old = {int(e["shard"]): e for e in manifest["shards"]}
+    shards_out = []
+    for s in sorted(set(old) | set(touched)):
+        if s in touched:
+            n_rows = old.get(s, {}).get("n_rows", 0) + touched[s]["n_rows"]
+            shards_out.append(
+                {"shard": s, "n_rows": int(n_rows),
+                 "n_bytes": int(touched[s]["n_bytes"])}
+            )
+        else:
+            _link_or_copy(shard_path(in_dir, s), shard_path(out_dir, s))
+            shards_out.append(old[s])
+    new_manifest = dict(manifest, shards=shards_out)
+    _write_manifest(out_dir, new_manifest)
+    return new_manifest
+
+
+def merge_sharded_artifacts(
+    spark, in_dirs: list[str], out_dir: str
+) -> dict:
+    """Union N same-geometry sharded artifacts shard-wise (bitmap OR) —
+    e.g. per-day crawl filters folded into one corpus filter. Each shard
+    id is merged by one task (S-way parallel, no driver bytes beyond the
+    manifest); absent shards are skipped; a shard present in exactly one
+    input is hard-linked, not rewritten. Manifest ``n_rows`` becomes the
+    SUM of the inputs' counts — an upper bound on distinct keys (the
+    bitmap union cannot recount overlaps), same convention as the
+    reference's num_writes counter under merge."""
+    if not in_dirs:
+        raise ValueError("merge_sharded_artifacts needs at least one input")
+    manifests = [_read_manifest(d) for d in in_dirs]
+    geo = {(m["n_shards"], m["per_shard_capacity"]) for m in manifests}
+    if len(geo) > 1:
+        raise ValueError(f"incompatible artifact geometries: {sorted(geo)}")
+    n_shards = int(manifests[0]["n_shards"])
+    os.makedirs(out_dir, exist_ok=True)
+
+    counts: dict[int, int] = {}
+    for m in manifests:
+        for e in m["shards"]:
+            counts[int(e["shard"])] = counts.get(int(e["shard"]), 0) + int(e["n_rows"])
+    sources = {
+        s: [d for d in in_dirs if os.path.exists(shard_path(d, s))]
+        for s in counts
+    }
+    multi = sorted(s for s, ds in sources.items() if len(ds) > 1)
+
+    def merge_one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"shard": [], "n_rows": [], "n_bytes": []}
+        for pdf in batches:
+            for s in pdf["shard"]:
+                s = int(s)
+                merged = None
+                for d in sources[s]:
+                    with open(shard_path(d, s), "rb") as f:
+                        sk = sketch_from_bytes(f.read())
+                    merged = sk if merged is None else merged.merge(sk)
+                blob = merged.densify().to_bytes()
+                tmp = shard_path(out_dir, s) + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, shard_path(out_dir, s))
+                rows["shard"].append(s)
+                rows["n_rows"].append(counts[s])
+                rows["n_bytes"].append(len(blob))
+        if rows["shard"]:
+            yield pd.DataFrame(rows)
+
+    merged_entries: list = []
+    if multi:
+        ids = spark.createDataFrame([(s,) for s in multi], "shard long")
+        ids = ids.repartition(min(len(multi), n_shards))
+        merged_entries = ids.mapInPandas(merge_one, _MANIFEST_SCHEMA).collect()
+    got = {int(r["shard"]) for r in merged_entries}
+    shards_out = []
+    for s in sorted(counts):
+        if s in got:
+            e = next(r for r in merged_entries if int(r["shard"]) == s)
+            shards_out.append(
+                {"shard": s, "n_rows": counts[s], "n_bytes": int(e["n_bytes"])}
+            )
+        else:
+            src = sources[s][0]
+            _link_or_copy(shard_path(src, s), shard_path(out_dir, s))
+            size = os.path.getsize(shard_path(out_dir, s))
+            shards_out.append({"shard": s, "n_rows": counts[s], "n_bytes": size})
+    new_manifest = dict(manifests[0], shards=shards_out)
+    _write_manifest(out_dir, new_manifest)
+    return new_manifest

@@ -16,8 +16,10 @@ from bloom_spark.ops.sharded import (
     MANIFEST,
     build_sharded_bloom,
     is_sharded_artifact,
+    merge_sharded_artifacts,
     shard_path,
     sharded_membership_udf,
+    update_sharded_bloom,
 )
 from bloom_spark.sketch import BloomSketch
 
@@ -138,6 +140,83 @@ class TestShardedFilter:
             [(i, f"x{i}") for i in range(500)], "id long, text string"
         )
         assert dedup_against_filter(spark, other, ["text"], out_dir).count() == 500
+
+    def test_update_check_and_set(self, spark, tmp_path):
+        """Incremental update: base artifact from set A; updating with
+        A ∪ B must emit exactly B as survivors (first occurrence per key),
+        write an artifact containing A ∪ B, and leave the base untouched."""
+        a = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(100)], "id long, text string"
+        )
+        # b has each key twice: only the first copy (lower id) survives
+        b_rows = [(1000 + i, f"b{i}") for i in range(50)] + [
+            (2000 + i, f"b{i}") for i in range(50)
+        ]
+        b = spark.createDataFrame(b_rows, "id long, text string")
+        base, v2, surv = (
+            str(tmp_path / "base"), str(tmp_path / "v2"), str(tmp_path / "surv")
+        )
+        build_sharded_bloom(a, ["text"], base, n_shards=4,
+                            expected_n=400, fpr=1e-9)
+        man = update_sharded_bloom(
+            a.unionAll(b), ["text"], base, v2,
+            survivors_dir=surv, order_col="id",
+        )
+        got = {(r["id"], r["text"]) for r in spark.read.parquet(surv).collect()}
+        assert got == {(1000 + i, f"b{i}") for i in range(50)}
+        # v2 artifact knows A and B; base still only knows A (all 100
+        # b-rows pass its anti-filter — probe is a pure anti-join)
+        assert dedup_against_filter(spark, a.unionAll(b), ["text"], v2).count() == 0
+        assert dedup_against_filter(spark, b, ["text"], base).count() == 100
+        assert sum(e["n_rows"] for e in man["shards"]) == 150
+        # copy-on-update guard
+        with pytest.raises(ValueError):
+            update_sharded_bloom(b, ["text"], base, base)
+
+    def test_update_without_survivors_and_untouched_shards(self, spark, tmp_path):
+        """Filter-only update (no survivors dir): shards that received no
+        new keys are carried over (linked) so the new artifact is complete."""
+        a = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(200)], "id long, text string"
+        )
+        one = spark.createDataFrame([(0, "znew")], "id long, text string")
+        base, v2 = str(tmp_path / "base"), str(tmp_path / "v2")
+        build_sharded_bloom(a, ["text"], base, n_shards=16,
+                            expected_n=400, fpr=1e-9)
+        man = update_sharded_bloom(one, ["text"], base, v2)
+        assert sum(e["n_rows"] for e in man["shards"]) == 201
+        n_files = len([f for f in os.listdir(v2) if f.endswith(".sk")])
+        assert n_files == len(man["shards"])  # untouched shards carried over
+        assert dedup_against_filter(spark, a, ["text"], v2).count() == 0
+        assert dedup_against_filter(spark, one, ["text"], v2).count() == 0
+
+    def test_merge_artifacts(self, spark, tmp_path):
+        """Shard-wise union of two same-geometry artifacts: members of
+        either input are members of the merge; counts are summed."""
+        a = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(80)], "id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(i, f"b{i}") for i in range(80)], "id long, text string"
+        )
+        da, db, dm = (
+            str(tmp_path / "a"), str(tmp_path / "b"), str(tmp_path / "m")
+        )
+        build_sharded_bloom(a, ["text"], da, n_shards=4, expected_n=400, fpr=1e-9)
+        build_sharded_bloom(b, ["text"], db, n_shards=4, expected_n=400, fpr=1e-9)
+        man = merge_sharded_artifacts(spark, [da, db], dm)
+        assert sum(e["n_rows"] for e in man["shards"]) == 160
+        both = a.unionAll(b)
+        assert dedup_against_filter(spark, both, ["text"], dm).count() == 0
+        other = spark.createDataFrame(
+            [(i, f"x{i}") for i in range(200)], "id long, text string"
+        )
+        assert dedup_against_filter(spark, other, ["text"], dm).count() == 200
+        # geometry mismatch refused
+        dc = str(tmp_path / "c")
+        build_sharded_bloom(a, ["text"], dc, n_shards=8, expected_n=400, fpr=1e-9)
+        with pytest.raises(ValueError):
+            merge_sharded_artifacts(spark, [da, dc], str(tmp_path / "bad"))
 
     def test_shard_routing_consistent(self, spark, artifact):
         """The probe's numpy pmod must equal the build's JVM pmod: every
