@@ -28,6 +28,12 @@ Modes:
                        that is a sharded-artifact directory (or a .blf
                        file from the reference Rust binary) probes
                        through the matching path automatically
+  --update BASE        incremental EP-A (the reference's flagship loop:
+                       load filter, check_and_set each line, write the
+                       filter back): check_and_set against the sharded
+                       artifact at BASE, emit unseen rows to --output,
+                       write the updated artifact to --update-out
+                       (copy-on-update — BASE stays a valid snapshot)
 
 Resumable: re-running with the same --checkpoint/--run-id skips
 committed units (per-partition lineage parquet + atomic manifest).
@@ -80,6 +86,25 @@ def main(argv: list[str] | None = None) -> int:
         help="with --filter-only: persist the filter as S shard files "
         "(ops.sharded — no driver-side fold or single-file write)",
     )
+    ap.add_argument(
+        "--update",
+        help="incremental EP-A against an existing SHARDED artifact "
+        "(the reference's load filter -> check_and_set -> write-back "
+        "loop): check_and_set input rows against this base artifact "
+        "dir, write first-occurrence-of-unseen survivors to --output "
+        "(omit for filter-only update), write the updated artifact to "
+        "--update-out (copy-on-update; the base stays a valid snapshot)",
+    )
+    ap.add_argument(
+        "--update-out",
+        help="with --update: directory for the new artifact version "
+        "(must differ from the base; default <base>.next)",
+    )
+    ap.add_argument(
+        "--order-col",
+        help="with --update: sort within partitions on this column so "
+        "first-occurrence-wins follows it exactly (default: input order)",
+    )
     args = ap.parse_args(argv)
     if args.shards and not args.filter_only:
         # silently running the mono pipeline would re-introduce the very
@@ -103,7 +128,30 @@ def main(argv: list[str] | None = None) -> int:
         df = salted_repartition(df, args.salt_key, args.partitions)
 
     t0 = time.time()
-    if args.against:
+    if args.update:
+        from bloom_spark.ops.sharded import is_sharded_artifact, update_sharded_bloom
+
+        if not is_sharded_artifact(args.update):
+            raise SystemExit(f"--update: {args.update} is not a sharded artifact")
+        update_out = args.update_out or args.update.rstrip("/") + ".next"
+        manifest = update_sharded_bloom(
+            df, keys, args.update, update_out,
+            survivors_dir=args.output, order_col=args.order_col,
+        )
+        stats = {
+            "mode": "update",
+            "artifact": update_out,
+            "rows_total": sum(e["n_rows"] for e in manifest["shards"]),
+            "total_bytes": sum(e["n_bytes"] for e in manifest["shards"]),
+        }
+        if args.output:
+            parts = [
+                f for f in os.listdir(args.output) if f.endswith(".parquet")
+            ]  # zero survivors -> zero part files; read.parquet would fail
+            stats["rows_out"] = (
+                spark.read.parquet(args.output).count() if parts else 0
+            )
+    elif args.against:
         # EP-C: read-only probe against existing filter(s); several
         # names cascade (membership = OR over all). A single name that
         # is a sharded-artifact DIR or a reference .blf FILE routes
