@@ -1212,6 +1212,29 @@ def q_sharded_merge_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (ops.components): MinHash+LSH candidates →
+    exact-Jaccard pair graph → connected components via alternating
+    large-star/small-star (Kiveris et al. 2014) — every doc labeled
+    with the minimum doc_id of its duplicate cluster (unmatched docs
+    are their own singleton). This is the transitive-closure step
+    between "matched pairs" and "keep one representative per cluster";
+    the oracle replays it with a recursive min-reachability CTE."""
+    from bloom_spark.ops.components import connected_components
+    from bloom_spark.ops.neardup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 500")
+    cands = minhash_lsh_candidates(
+        docs, "doc_id", "text", shingle_n=5, num_hashes=64, bands=16
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=5, min_jaccard=0.8, candidates=cands
+    )
+    return connected_components(
+        pairs, "id_a", "id_b", nodes=docs, id_col="doc_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bloom_anti_filter(spark, "/root/testdata/sf0.001")
@@ -1267,6 +1290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_sample": q_bottomk_sample,
         "dup_spans": q_dup_spans,
         "sharded_update_dedup": q_sharded_update_dedup,
+        "neardup_components": q_neardup_components,
         "sharded_merge_filter": q_sharded_merge_filter,
     }
 
@@ -1726,6 +1750,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(p.dup_spans, 0) AS dup_spans,
                    coalesce(p.dup_spans, 0) / t.total_spans AS dup_frac
             FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        """,
+        "neardup_components": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(length(text)-4,0)+1),
+                       i -> substr(text, i, 5)))) AS s
+              FROM documents WHERE doc_id < 500
+            ), sz AS (SELECT doc_id, count(*) c FROM sh GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id ia, b.doc_id ib, count(*) i
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            jpairs AS (
+              SELECT ia AS id_a, ib AS id_b, i::DOUBLE/(sa.c+sb.c-i) AS jaccard
+              FROM inter
+              JOIN sz sa ON sa.doc_id = inter.ia
+              JOIN sz sb ON sb.doc_id = inter.ib),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM jpairs WHERE jaccard >= 0.8
+              UNION ALL
+              SELECT id_b, id_a FROM jpairs WHERE jaccard >= 0.8
+            ),
+            reach(id, r) AS (
+              SELECT u, v FROM edges
+              UNION
+              SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+            ),
+            comp AS (
+              SELECT id, least(min(r), id) AS component FROM reach GROUP BY id
+            )
+            SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
+            LEFT JOIN comp c ON c.id = d.doc_id
         """,
         "sharded_update_dedup": """
             WITH seen AS (

@@ -36,6 +36,7 @@ from bloom_spark.ops.dedup import (  # noqa: F401
     mark_members,
     semi_join_filter,
 )
+from bloom_spark.ops.components import connected_components  # noqa: F401
 from bloom_spark.ops.neardup import (  # noqa: F401
     char_shingles,
     minhash_dedup,

@@ -265,11 +265,24 @@ def minhash_dedup(
     shingle_n: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
+    policy: str = "pairs",
 ) -> DataFrame:
     """Remove near-duplicates: LSH candidates → exact-Jaccard verify →
-    drop every doc that matches a lower-id doc (first-wins, ≙ the
-    reference's first-occurrence-kept semantics generalized to near-dups).
-    """
+    drop policy.
+
+    ``policy="pairs"`` (default): drop every doc that matches a
+    lower-id doc (first-wins, ≙ the reference's first-occurrence-kept
+    semantics generalized to near-dups). Cheap — one distinct + anti
+    join — but keeps every LOCAL minimum of the match graph: with
+    matches (1,3),(2,3), doc 2 survives although it transitively
+    belongs to 1's cluster.
+
+    ``policy="components"``: cluster the match graph into connected
+    components (ops.components, large-star/small-star) and keep exactly
+    one representative — the minimum id — per cluster. This is the
+    production-LLM-corpus semantics (one survivor per duplicate
+    cluster) at the cost of O(log) extra passes over the PAIR list
+    (tiny next to the corpus)."""
     cands = minhash_lsh_candidates(
         df, id_col, text_col, shingle_n=shingle_n, num_hashes=num_hashes, bands=bands
     )
@@ -277,7 +290,20 @@ def minhash_dedup(
         df, id_col, text_col, shingle_n=shingle_n,
         min_jaccard=min_jaccard, candidates=cands,
     )
-    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    if policy == "components":
+        from bloom_spark.ops.components import connected_components
+
+        # non-representatives only ever appear in the pair graph, so the
+        # full-corpus nodes= union is unnecessary here
+        assign = connected_components(dups, "id_a", "id_b")
+        to_drop = (
+            assign.where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    elif policy == "pairs":
+        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown policy {policy!r} (pairs|components)")
     return df.join(to_drop, id_col, "left_anti")
 
 

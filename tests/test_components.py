@@ -1,0 +1,159 @@
+"""Connected components (ops.components): parity with a driver-side
+union-find on adversarial graph shapes, and the dedup policy built on it."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from bloom_spark.ops.components import connected_components
+from bloom_spark.ops.neardup import minhash_dedup
+
+
+def _brute(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    out = {}
+    for mem in comp.values():
+        m = min(mem)
+        for n in mem:
+            out[n] = m
+    return out
+
+
+CASES = {
+    # a 30-hop path needs the log-round contraction, not 1-hop gossip
+    "chain": [(i, i + 1) for i in range(30)],
+    "star": [(0, i) for i in range(1, 20)],
+    "cycle": [(i, (i + 1) % 15) for i in range(15)],
+    "two_components": [(1, 2), (2, 3), (10, 11), (12, 11)],
+    "self_loops_and_dups": [(5, 5), (1, 2), (2, 1), (2, 3)],
+}
+
+
+class TestConnectedComponents:
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_matches_union_find(self, spark, name):
+        """nodes= is passed so self-loop-only nodes (which _canon drops
+        from the edge set) come back as singletons, matching union-find."""
+        edges = CASES[name]
+        nodes = sorted({x for e in edges for x in e})
+        want = _brute(edges, nodes)
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, "src", "dst", nodes=ndf, id_col="id"
+            ).collect()
+        }
+        assert got == want
+
+    def test_random_graph(self, spark):
+        rng = random.Random(42)
+        edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+        nodes = sorted({x for e in edges for x in e})
+        want = _brute(edges, nodes)
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, "src", "dst", nodes=ndf, id_col="id"
+            ).collect()
+        }
+        assert got == want
+
+    def test_isolated_nodes_come_from_nodes_param(self, spark):
+        edf = spark.createDataFrame([(1, 2)], "src long, dst long")
+        ndf = spark.createDataFrame([(1,), (2,), (7,)], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, "src", "dst", nodes=ndf, id_col="id"
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 7: 7}
+        with pytest.raises(ValueError):
+            connected_components(edf, "src", "dst", nodes=ndf)
+
+    def test_string_ids(self, spark):
+        edf = spark.createDataFrame(
+            [("b", "c"), ("a", "b"), ("x", "y")], "src string, dst string"
+        )
+        got = {
+            r["id"]: r["component"] for r in connected_components(edf).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    def test_empty_edges(self, spark):
+        edf = spark.createDataFrame([], "src long, dst long")
+        ndf = spark.createDataFrame([(3,), (9,)], "id long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, "src", "dst", nodes=ndf, id_col="id"
+            ).collect()
+        }
+        assert got == {3: 3, 9: 9}
+
+
+class TestDedupPolicy:
+    def test_components_policy_merges_transitive_cluster(self, spark):
+        """Match graph exactly {(1,3), (2,3)} — built from three word
+        blocks X, Y, Z with disjoint alphabets: doc1 = X+Y, doc2 = Y+Z,
+        doc3 = Y, so exact shingle Jaccard is J(1,3) = J(2,3) ≈
+        |Y|/|X∪Y| ≈ 0.61 (match at threshold 0.5) while J(1,2) ≈
+        |Y|/|X∪Y∪Z| ≈ 0.44 (no match). Pairs policy drops only id_b=3
+        and keeps BOTH 1 and 2; components policy clusters {1,2,3} and
+        keeps only the minimum, 1."""
+
+        def words(alpha: str, n: int, seed: int) -> str:
+            rng = random.Random(seed)
+            return " ".join(
+                "".join(rng.choice(alpha) for _ in range(6)) for _ in range(n)
+            )
+
+        x = words("abcdef", 25, 1)
+        y = words("ghijkl", 40, 2)
+        z = words("mnopqr", 25, 3)
+        docs = spark.createDataFrame(
+            [
+                (1, x + " " + y),
+                (2, y + " " + z),
+                (3, y),
+                (9, words("stuvwx", 30, 4)),
+            ],
+            "doc_id long, text string",
+        )
+        kw = dict(min_jaccard=0.5, num_hashes=64, bands=32)
+        kept_pairs = {
+            r["doc_id"]
+            for r in minhash_dedup(
+                docs, "doc_id", "text", policy="pairs", **kw
+            ).collect()
+        }
+        kept_comp = {
+            r["doc_id"]
+            for r in minhash_dedup(
+                docs, "doc_id", "text", policy="components", **kw
+            ).collect()
+        }
+        assert kept_pairs == {1, 2, 9}  # 2 is a local minimum, kept
+        assert kept_comp == {1, 9}  # one representative per cluster
+        with pytest.raises(ValueError):
+            minhash_dedup(docs, "doc_id", "text", policy="bogus")
