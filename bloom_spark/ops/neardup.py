@@ -315,18 +315,34 @@ def simhash_dedup(
     bands: int = 4,
     max_bucket: int = 256,
     strict: bool = True,
+    policy: str = "pairs",
 ) -> DataFrame:
     """Near-dup removal by SimHash distance: drop every doc within
     Hamming distance ``max_hamming`` of a lower-id doc (first-wins, the
     SimHash sibling of :func:`minhash_dedup`). One fingerprint pass +
     one banded self-join; no shingle explosion — the cheaper/coarser
-    near-dup family for boilerplate-heavy web text."""
+    near-dup family for boilerplate-heavy web text.
+
+    ``policy`` as in :func:`minhash_dedup`: ``"pairs"`` keeps the match
+    graph's local minima; ``"components"`` keeps exactly one
+    representative (the min id) per duplicate cluster."""
     pairs = simhash_pairs(
         df, id_col, text_col,
         max_hamming=max_hamming, bands=bands, max_bucket=max_bucket,
         strict=strict,
     )
-    to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if policy == "components":
+        from bloom_spark.ops.components import connected_components
+
+        assign = connected_components(pairs, "id_a", "id_b")
+        to_drop = (
+            assign.where(F.col("id") != F.col("component"))
+            .select(F.col("id").alias(id_col))
+        )
+    elif policy == "pairs":
+        to_drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    else:
+        raise ValueError(f"unknown policy {policy!r} (pairs|components)")
     return df.join(to_drop, id_col, "left_anti")
 
 

@@ -157,3 +157,24 @@ class TestDedupPolicy:
         assert kept_comp == {1, 9}  # one representative per cluster
         with pytest.raises(ValueError):
             minhash_dedup(docs, "doc_id", "text", policy="bogus")
+
+    def test_simhash_components_policy(self, spark):
+        """simhash_dedup honors the same policy switch: exact duplicates
+        cluster into one component, unrelated docs are untouched."""
+        from bloom_spark.ops.neardup import simhash_dedup
+
+        text = "repeated web boilerplate page about cookies and consent " * 4
+        other = "a completely different technical article on query plans " * 4
+        docs = spark.createDataFrame(
+            [(1, text), (2, text), (3, text), (9, other)],
+            "doc_id long, text string",
+        )
+        kept = {
+            r["doc_id"]
+            for r in simhash_dedup(
+                docs, "doc_id", "text", max_hamming=3, policy="components"
+            ).collect()
+        }
+        assert kept == {1, 9}
+        with pytest.raises(ValueError):
+            simhash_dedup(docs, "doc_id", "text", policy="bogus")
