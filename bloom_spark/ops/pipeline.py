@@ -47,6 +47,7 @@ def clean_corpus(
     bands: int = 16,
     max_repetition: float | None = None,
     redact: bool = False,
+    neardup_policy: str = "pairs",
 ) -> DataFrame:
     """Clean a document corpus for training: keep rows whose quality
     score ≥ ``min_quality`` and predicted language ∈ ``langs``, drop
@@ -79,7 +80,7 @@ def clean_corpus(
     out = minhash_dedup(
         deduped, id_col, text_col,
         min_jaccard=min_jaccard, shingle_n=shingle_n,
-        num_hashes=num_hashes, bands=bands,
+        num_hashes=num_hashes, bands=bands, policy=neardup_policy,
     )
     if redact:
         out = out.withColumn(text_col, redact_pii(F.col(text_col)))
