@@ -112,6 +112,42 @@ class TestConnectedComponents:
         assert got == {3: 3, 9: 9}
 
 
+class TestConnectedComponentsProperty:
+    def test_hypothesis_random_graphs(self, spark):
+        """Hypothesis over small random multigraphs (parallel edges,
+        self-loops, any density): assignment equals union-find. Kept to
+        a handful of examples — each runs real Spark rounds."""
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        @settings(
+            max_examples=8,
+            deadline=None,
+            suppress_health_check=[HealthCheck.function_scoped_fixture],
+        )
+        @given(
+            edges=st.lists(
+                st.tuples(st.integers(0, 24), st.integers(0, 24)),
+                min_size=1,
+                max_size=40,
+            )
+        )
+        def run(edges):
+            nodes = sorted({x for e in edges for x in e})
+            want = _brute(edges, nodes)
+            edf = spark.createDataFrame(edges, "src long, dst long")
+            ndf = spark.createDataFrame([(n,) for n in nodes], "id long")
+            got = {
+                r["id"]: r["component"]
+                for r in connected_components(
+                    edf, "src", "dst", nodes=ndf, id_col="id"
+                ).collect()
+            }
+            assert got == want
+
+        run()
+
+
 class TestDedupPolicy:
     def test_components_policy_merges_transitive_cluster(self, spark):
         """Match graph exactly {(1,3), (2,3)} — built from three word
