@@ -290,6 +290,17 @@ def update_sharded_bloom(
         os.makedirs(survivors_dir, exist_ok=True)
 
     out_cols = df.columns
+    # TIMESTAMP (ltz) columns arrive in pandas as NAIVE wall times in the
+    # session timezone; written as-is they become parquet NTZ. Localize
+    # them before the part write so they round-trip as UTC-adjusted
+    # timestamps (what Spark reads back as TIMESTAMP).
+    from pyspark.sql.types import TimestampType
+
+    ltz_cols = [f.name for f in df.schema.fields
+                if isinstance(f.dataType, TimestampType)]
+    session_tz = df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC"
+    )
     hashed = with_hash_columns(df, cols)
     if survivors_dir is None:
         hashed = hashed.select(H1_COL, H2_COL)
@@ -359,8 +370,18 @@ def update_sharded_bloom(
             import pyarrow.parquet as pq
 
             out = pd.concat(survivors, ignore_index=True)
+            for c in ltz_cols:
+                if out[c].dt.tz is None:
+                    out[c] = out[c].dt.tz_localize(session_tz)
             tmp = part + f".tmp{os.getpid()}"
-            pq.write_table(pa.Table.from_pandas(out, preserve_index=False), tmp)
+            # coerce to microseconds: pandas datetime64[ns] otherwise
+            # lands as TIMESTAMP(NANOS), which Spark's reader rejects
+            pq.write_table(
+                pa.Table.from_pandas(out, preserve_index=False),
+                tmp,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
             os.replace(tmp, part)
         if rows["shard"]:
             yield pd.DataFrame(rows)

@@ -190,6 +190,29 @@ class TestShardedFilter:
         assert dedup_against_filter(spark, a, ["text"], v2).count() == 0
         assert dedup_against_filter(spark, one, ["text"], v2).count() == 0
 
+    def test_update_survivors_preserve_pages_schema(self, spark, tmp_path):
+        """Survivor parts are written executor-side by pyarrow from
+        pandas; the north-rule input shape (timestamp + binary columns)
+        must round-trip through them unchanged."""
+        from bloom_spark.io.pages import synthesize_pages
+
+        pages = synthesize_pages(spark, 60).where("text IS NOT NULL")
+        seen = pages.limit(20)
+        base, v2, surv = (
+            str(tmp_path / "b"), str(tmp_path / "v"), str(tmp_path / "s")
+        )
+        build_sharded_bloom(seen, ["text"], base, n_shards=4,
+                            expected_n=200, fpr=1e-9)
+        update_sharded_bloom(pages, ["text"], base, v2, survivors_dir=surv)
+        out = spark.read.parquet(surv)
+        assert set(out.columns) == set(pages.columns)
+        want = dict(pages.dtypes)
+        got = dict(out.dtypes)
+        assert got == want  # timestamp/binary dtypes survive the part files
+        assert out.count() == pages.join(
+            seen.select("text").distinct(), "text", "left_anti"
+        ).select("text").distinct().count()
+
     def test_merge_artifacts(self, spark, tmp_path):
         """Shard-wise union of two same-geometry artifacts: members of
         either input are members of the merge; counts are summed."""
