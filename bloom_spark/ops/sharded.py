@@ -227,7 +227,9 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 def _link_or_copy(src: str, dst: str) -> None:
     """Hard-link when the filesystem allows (instant, shares blocks);
-    fall back to a byte copy. Used for shards an update never touched."""
+    fall back to a tmp-copy + atomic rename so a crash mid-copy can
+    never leave a torn shard that a re-run would then skip. Used for
+    shards an update never touched."""
     import shutil
 
     if os.path.exists(dst):
@@ -235,7 +237,9 @@ def _link_or_copy(src: str, dst: str) -> None:
     try:
         os.link(src, dst)
     except OSError:
-        shutil.copyfile(src, dst)
+        tmp = dst + f".tmp{os.getpid()}"
+        shutil.copyfile(src, tmp)
+        os.replace(tmp, dst)
 
 
 def update_sharded_bloom(
