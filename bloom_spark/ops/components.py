@@ -83,6 +83,45 @@ def _checksum(e: DataFrame):
     return (row["n"], row["h"])
 
 
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (already canonicalized,
+    deduplicated) edge list and label components with a driver-side
+    union-find, one job instead of O(log n) rounds of several jobs each.
+    Bounded by the caller's threshold (rows × 16 B), the same adaptivity
+    argument as a broadcast join."""
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r["u"], r["v"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members: dict = {}
+    for n in parent:
+        members.setdefault(find(n), []).append(n)
+    out = []
+    for mem in members.values():
+        m = min(mem)
+        out.extend((n, m) for n in mem)
+    spark = e.sparkSession
+    id_type = e.schema["u"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("id", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -90,6 +129,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     id_col: str | None = None,
     max_iter: int = 50,
+    small_graph_threshold: int = 100_000,
 ) -> DataFrame:
     """Component assignment ``(id, component)`` for every node, where
     ``component`` is the smallest node id in its component.
@@ -104,8 +144,27 @@ def connected_components(
     detected by an order-invariant edge-set checksum; two equal
     consecutive checksums after a (large-star, small-star) round mean
     the edge set is a fixpoint — one star per component.
+
+    Edge sets at or under ``small_graph_threshold`` rows (after
+    canonicalization) are labeled by a driver-side union-find instead —
+    near-dup match graphs are usually tiny next to the corpus, and the
+    star rounds' fixed per-job cost dominates there. The threshold
+    bounds driver memory at ~16 B/edge; pass 0 to force the distributed
+    contraction.
     """
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    n_edges = e.count()
+    if n_edges <= small_graph_threshold:
+        assign = _driver_union_find(e)
+        if nodes is not None:
+            if id_col is None:
+                raise ValueError("nodes requires id_col")
+            allnodes = nodes.select(F.col(id_col).alias("id")).distinct()
+            singles = allnodes.join(assign, "id", "left_anti")
+            assign = assign.unionAll(
+                singles.select("id", F.col("id").alias("component"))
+            )
+        return assign
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _large_star(e).localCheckpoint(eager=True)

@@ -46,9 +46,13 @@ CASES = {
 
 
 class TestConnectedComponents:
+    @pytest.mark.parametrize("threshold", [0, 100_000],
+                             ids=["distributed", "driver"])
     @pytest.mark.parametrize("name", sorted(CASES))
-    def test_matches_union_find(self, spark, name):
-        """nodes= is passed so self-loop-only nodes (which _canon drops
+    def test_matches_union_find(self, spark, name, threshold):
+        """Both paths — the star contraction (threshold 0) and the
+        small-graph driver union-find — must agree with the oracle.
+        nodes= is passed so self-loop-only nodes (which _canon drops
         from the edge set) come back as singletons, matching union-find."""
         edges = CASES[name]
         nodes = sorted({x for e in edges for x in e})
@@ -58,12 +62,15 @@ class TestConnectedComponents:
         got = {
             r["id"]: r["component"]
             for r in connected_components(
-                edf, "src", "dst", nodes=ndf, id_col="id"
+                edf, "src", "dst", nodes=ndf, id_col="id",
+                small_graph_threshold=threshold,
             ).collect()
         }
         assert got == want
 
-    def test_random_graph(self, spark):
+    @pytest.mark.parametrize("threshold", [0, 100_000],
+                             ids=["distributed", "driver"])
+    def test_random_graph(self, spark, threshold):
         rng = random.Random(42)
         edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
         nodes = sorted({x for e in edges for x in e})
@@ -73,7 +80,8 @@ class TestConnectedComponents:
         got = {
             r["id"]: r["component"]
             for r in connected_components(
-                edf, "src", "dst", nodes=ndf, id_col="id"
+                edf, "src", "dst", nodes=ndf, id_col="id",
+                small_graph_threshold=threshold,
             ).collect()
         }
         assert got == want
@@ -115,8 +123,10 @@ class TestConnectedComponents:
 class TestConnectedComponentsProperty:
     def test_hypothesis_random_graphs(self, spark):
         """Hypothesis over small random multigraphs (parallel edges,
-        self-loops, any density): assignment equals union-find. Kept to
-        a handful of examples — each runs real Spark rounds."""
+        self-loops, any density): assignment equals union-find. Pinned
+        to the DISTRIBUTED star contraction (threshold 0) — that is
+        where the algorithmic risk lives. Kept to a handful of examples
+        — each runs real Spark rounds."""
         from hypothesis import HealthCheck, given, settings
         from hypothesis import strategies as st
 
@@ -140,7 +150,8 @@ class TestConnectedComponentsProperty:
             got = {
                 r["id"]: r["component"]
                 for r in connected_components(
-                    edf, "src", "dst", nodes=ndf, id_col="id"
+                    edf, "src", "dst", nodes=ndf, id_col="id",
+                    small_graph_threshold=0,
                 ).collect()
             }
             assert got == want
