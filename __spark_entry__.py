@@ -1235,6 +1235,35 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr ACTION (ops.spans.remove_duplicate_spans): a
+    shared boilerplate suffix is appended to every third doc, then every
+    character covered by a cross-doc verbatim 30-char window is excised
+    — boilerplate docs come back byte-identical to their originals
+    (modulo any naturally shared windows, which the oracle replays
+    identically). Excision is a pure Catalyst aggregate cursor sweep;
+    hash_spans=False here so DuckDB replays the span grouping exactly."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops import remove_duplicate_spans
+
+    boiler = (
+        "COPYRIGHT NOTICE all rights reserved - "
+        "unsubscribe from this newsletter here"
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text").where("doc_id < 300")
+    aug = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(boiler))).otherwise(F.col("text")),
+    )
+    out = remove_duplicate_spans(
+        aug, "doc_id", "text", span_len=30, stride=1,
+        min_docs=2, hash_spans=False,
+    )
+    return out.select("doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bloom_anti_filter(spark, "/root/testdata/sf0.001")
@@ -1291,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_spans": q_dup_spans,
         "sharded_update_dedup": q_sharded_update_dedup,
         "neardup_components": q_neardup_components,
+        "span_excision": q_span_excision,
         "sharded_merge_filter": q_sharded_merge_filter,
     }
 
@@ -1783,6 +1813,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS component
             FROM (SELECT doc_id FROM documents WHERE doc_id < 500) d
             LEFT JOIN comp c ON c.id = d.doc_id
+        """,
+        "span_excision": """
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN text || 'COPYRIGHT NOTICE all rights reserved - unsubscribe from this newsletter here'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id < 300
+            ), spans AS (
+              SELECT doc_id, CAST(i AS INT) AS pos,
+                     substr(text, CAST(i AS INT), 30) AS span
+              FROM aug, UNNEST(generate_series(1, length(text) - 29)) t(i)
+              WHERE length(text) >= 30
+            ), shared AS (
+              SELECT span FROM spans
+              GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+            ), dup_pos AS (
+              SELECT s.doc_id, s.pos FROM spans s JOIN shared sh USING (span)
+            ), chars AS (
+              SELECT a.doc_id, CAST(i AS INT) AS i,
+                     substr(a.text, CAST(i AS INT), 1) AS ch
+              FROM aug a, UNNEST(generate_series(1, length(a.text))) t(i)
+            ), kept AS (
+              SELECT c.doc_id, c.i, c.ch FROM chars c
+              WHERE NOT EXISTS (
+                SELECT 1 FROM dup_pos p
+                WHERE p.doc_id = c.doc_id
+                  AND c.i >= p.pos AND c.i < p.pos + 30)
+            )
+            SELECT a.doc_id, coalesce(k.text, '') AS text
+            FROM aug a LEFT JOIN (
+              SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text
+              FROM kept GROUP BY doc_id
+            ) k USING (doc_id)
         """,
         "sharded_update_dedup": """
             WITH seen AS (

@@ -51,7 +51,11 @@ from bloom_spark.ops.neardup import (  # noqa: F401
 from bloom_spark.ops.join import bloom_join  # noqa: F401
 from bloom_spark.ops.pipeline import clean_corpus  # noqa: F401
 from bloom_spark.ops.sampling import bottom_k_sample, hash_rank  # noqa: F401
-from bloom_spark.ops.spans import doc_spans, duplicate_spans  # noqa: F401
+from bloom_spark.ops.spans import (  # noqa: F401
+    doc_spans,
+    duplicate_spans,
+    remove_duplicate_spans,
+)
 from bloom_spark.ops.similarity import (  # noqa: F401
     brute_force_topk,
     cosine,

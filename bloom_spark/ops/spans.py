@@ -93,3 +93,71 @@ def duplicate_spans(
         F.count("__dup").alias("dup_spans"),
         (F.count("__dup") / F.count("*")).alias("dup_frac"),
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_len: int = 40,
+    stride: int = 1,
+    min_docs: int = 2,
+    hash_spans: bool = True,
+    out_col: str | None = None,
+) -> DataFrame:
+    """CUT duplicated regions out of the text — the ExactSubstr action
+    (Lee et al. 2022 remove the duplicated substring itself, not the
+    document): every character covered by a window verbatim-shared with
+    ≥ ``min_docs-1`` other documents is excised; the remainder is
+    concatenated in order.
+
+    Plan: span keys → shared-key aggregation (as
+    :func:`duplicate_spans`) → left-semi back onto the span rows → ONE
+    per-doc ``collect_list(pos)`` of duplicated window starts (bounded
+    by the doc's own length — the same order of memory as the text
+    itself) → join onto the input → excision as a pure Catalyst
+    ``aggregate`` cursor sweep over the sorted positions (merge
+    overlapping [p, p+span_len) intervals and keep the gaps) — no
+    Python on the data path.
+
+    ``out_col`` defaults to replacing ``text_col``. Documents with no
+    duplicated window (or shorter than ``span_len``) pass through
+    byte-identical.
+    """
+    out_col = out_col or text_col
+    spans = doc_spans(df, id_col, text_col, span_len, stride)
+    key = F.xxhash64("span") if hash_spans else F.col("span")
+    keyed = spans.select(id_col, "pos", key.alias("__sk"))
+    shared = (
+        keyed.groupBy("__sk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__ndocs"))
+        .where(F.col("__ndocs") >= min_docs)
+        .select("__sk")
+    )
+    dup_pos = (
+        keyed.join(shared, "__sk", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__dup_pos"))
+    )
+    joined = df.join(dup_pos, id_col, "left_outer")
+    # cursor sweep: cur = first unexcised 1-based position; for each
+    # duplicated window start p (ascending): keep [cur, p), jump cur past
+    # the window; overlapping/adjacent windows merge via greatest().
+    excised = F.expr(
+        f"""
+        aggregate(
+          __dup_pos,
+          struct(CAST(1 AS INT) AS cur, CAST('' AS STRING) AS acc),
+          (st, p) -> struct(
+            CAST(greatest(st.cur, p + {int(span_len)}) AS INT) AS cur,
+            CASE WHEN p > st.cur
+                 THEN concat(st.acc, substring({text_col}, st.cur, p - st.cur))
+                 ELSE st.acc END AS acc),
+          st -> concat(st.acc,
+                       substring({text_col}, st.cur, length({text_col}))))
+        """
+    )
+    cleaned = F.when(F.col("__dup_pos").isNull(), F.col(text_col)).otherwise(
+        excised
+    )
+    return joined.withColumn(out_col, cleaned).drop("__dup_pos")

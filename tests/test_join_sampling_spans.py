@@ -221,3 +221,55 @@ def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
     got = {r.doc_id: r.dup_spans for r in
            duplicate_spans(df, "doc_id", "text", 30, 1).collect()}
     assert got[1] == 0 and got[2] == 0
+
+
+# ------------------------------------------------------------- span excision
+def test_remove_duplicate_spans_cuts_shared_region(spark):
+    """The ExactSubstr ACTION: characters covered by cross-doc shared
+    windows are excised, everything else is byte-identical; overlapping
+    windows inside the shared run merge into one cut."""
+    from bloom_spark.ops.spans import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xxxxABCDEFGHIJyyyy"),
+            (2, "ppppppABCDEFGHIJqq"),
+            (3, "no shared content here at all"),
+            (4, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            docs, "doc_id", "text", span_len=5, stride=1,
+            min_docs=2, hash_spans=False,
+        ).collect()
+    }
+    assert out == {
+        1: "xxxxyyyy",
+        2: "ppppppqq",
+        3: "no shared content here at all",
+        4: "tiny",
+    }
+
+
+def test_remove_duplicate_spans_whole_doc_and_out_col(spark):
+    """A fully duplicated doc excises to the empty string; out_col keeps
+    the original text column intact; hash path matches the string path."""
+    from bloom_spark.ops.spans import remove_duplicate_spans
+
+    same = "identical document text shared verbatim"
+    other = "zq wholly different corpus entry"  # no 10-gram in common
+    docs = spark.createDataFrame(
+        [(1, same), (2, same), (3, other)],
+        "doc_id long, text string",
+    )
+    out = remove_duplicate_spans(
+        docs, "doc_id", "text", span_len=10, stride=1,
+        min_docs=2, hash_spans=True, out_col="clean",
+    )
+    rows = {r["doc_id"]: (r["text"], r["clean"]) for r in out.collect()}
+    assert rows[1] == (same, "")
+    assert rows[2] == (same, "")
+    assert rows[3][0] == rows[3][1] == other
