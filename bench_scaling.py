@@ -268,14 +268,17 @@ def main() -> None:
             for _ in range(max(1, args.repeats))
         ]
         ratio = args.high / args.low
-        effs = sorted(
+        # temporal order preserved in the report; median picked by value
+        effs = [
             (p_lo["wall_s"] / p_hi["wall_s"]) / ratio for p_lo, p_hi in pairs
-        )
-        med = effs[len(effs) // 2]
-        i = [
-            (p_lo["wall_s"] / p_hi["wall_s"]) / ratio for p_lo, p_hi in pairs
-        ].index(med)
+        ]
+        med = sorted(effs)[len(effs) // 2]
+        i = effs.index(med)
         lo, hi = dict(pairs[i][0]), dict(pairs[i][1])
+        # each leg object is ONE run (the median-ratio pair's), not a
+        # min/median statistic — label it so the evidence JSON reads true
+        for leg in (lo, hi):
+            leg["stat"] = "median-ratio-pair single run"
         lo["walls_all"] = [p[0]["wall_s"] for p in pairs]
         hi["walls_all"] = [p[1]["wall_s"] for p in pairs]
         print(

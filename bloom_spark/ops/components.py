@@ -152,19 +152,12 @@ def connected_components(
     bounds driver memory at ~16 B/edge; pass 0 to force the distributed
     contraction.
     """
+    if nodes is not None and id_col is None:
+        raise ValueError("nodes requires id_col")
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
     if n_edges <= small_graph_threshold:
-        assign = _driver_union_find(e)
-        if nodes is not None:
-            if id_col is None:
-                raise ValueError("nodes requires id_col")
-            allnodes = nodes.select(F.col(id_col).alias("id")).distinct()
-            singles = allnodes.join(assign, "id", "left_anti")
-            assign = assign.unionAll(
-                singles.select("id", F.col("id").alias("component"))
-            )
-        return assign
+        return _with_singletons(_driver_union_find(e), nodes, id_col)
     prev = _checksum(e)
     for _ in range(max_iter):
         e = _large_star(e).localCheckpoint(eager=True)
@@ -183,12 +176,18 @@ def connected_components(
     assign = assign.unionAll(
         roots.select("id", F.col("id").alias("component"))
     ).distinct()
-    if nodes is not None:
-        if id_col is None:
-            raise ValueError("nodes requires id_col")
-        allnodes = nodes.select(F.col(id_col).alias("id")).distinct()
-        singles = allnodes.join(assign, "id", "left_anti")
-        assign = assign.unionAll(
-            singles.select("id", F.col("id").alias("component"))
-        )
-    return assign
+    return _with_singletons(assign, nodes, id_col)
+
+
+def _with_singletons(
+    assign: DataFrame, nodes: DataFrame | None, id_col: str | None
+) -> DataFrame:
+    """Nodes absent from the edge-derived assignment come back as their
+    own singleton component when the full node set is supplied."""
+    if nodes is None:
+        return assign
+    allnodes = nodes.select(F.col(id_col).alias("id")).distinct()
+    singles = allnodes.join(assign, "id", "left_anti")
+    return assign.unionAll(
+        singles.select("id", F.col("id").alias("component"))
+    )

@@ -91,7 +91,10 @@ def bottom_k_sample(
                     else pd.concat([carry, b], ignore_index=True)
                 )
                 cur = cur.sort_values(sort_cols, kind="mergesort")
-                carry = cur.groupby(gcols, sort=False).head(k)
+                # dropna=False: Spark's window partitionBy treats NULL as
+                # a group; pandas' default would silently drop every
+                # null-keyed row from the partial and the final sample
+                carry = cur.groupby(gcols, sort=False, dropna=False).head(k)
             if carry is not None:
                 yield carry
 

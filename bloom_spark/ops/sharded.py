@@ -309,7 +309,10 @@ def update_sharded_bloom(
     if survivors_dir is None:
         hashed = hashed.select(H1_COL, H2_COL)
     hashed = hashed.repartition(n_shards, F.pmod(F.col(H1_COL), F.lit(n_shards)))
-    if order_col is not None:
+    # the sort chooses WHICH copy survives — meaningless without a
+    # survivors sink (any copy sets the same filter bits), and the
+    # column was projected away above
+    if order_col is not None and survivors_dir is not None:
         hashed = hashed.sortWithinPartitions(order_col)
 
     def upd(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -423,7 +426,14 @@ def merge_sharded_artifacts(
     if not in_dirs:
         raise ValueError("merge_sharded_artifacts needs at least one input")
     manifests = [_read_manifest(d) for d in in_dirs]
-    geo = {(m["n_shards"], m["per_shard_capacity"]) for m in manifests}
+    # fpr is part of the geometry: same (shards, capacity) at different
+    # fpr means different bitmap sizes m — without the upfront check the
+    # job would die mid-merge inside an executor after some shards were
+    # already written, leaving a torn output directory
+    geo = {
+        (m["n_shards"], m["per_shard_capacity"], float(m["fpr"]))
+        for m in manifests
+    }
     if len(geo) > 1:
         raise ValueError(f"incompatible artifact geometries: {sorted(geo)}")
     n_shards = int(manifests[0]["n_shards"])

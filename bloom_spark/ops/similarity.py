@@ -413,46 +413,15 @@ def ivf_topk(
     one corpus should assign once, persist, and pass the column here —
     otherwise every call re-runs the assignment UDF over the corpus
     (the r3→r4 `ann_ivf_recall` bench regression).
+
+    A single-point sweep: delegates to :func:`ivf_topk_sweep` so the
+    probe/join/window logic (and any fix to it) lives exactly once.
     """
-    if cell_col is not None:
-        c = corpus.select(
-            F.col(id_col), F.col(vec_col), F.col(cell_col).alias("__cell")
-        )
-    else:
-        c = corpus.select(
-            F.col(id_col), F.col(vec_col),
-            ivf_cell_udf(centroids)(F.col(vec_col)).alias("__cell"),
-        )
-    qpdf = queries.select(query_id_col, vec_col).toPandas()
-    spark = queries.sparkSession
-    if len(qpdf) == 0:  # (0,) @ cents would raise (r3 review)
-        x = np.zeros((0, centroids.shape[1]), dtype=np.float64)
-    else:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in qpdf[vec_col]])
-    cents = np.ascontiguousarray(centroids.T, dtype=np.float64)
-    order = np.argsort(-(x @ cents), axis=1, kind="stable")[:, :nprobe]
-    rows = [
-        (qid, [float(v) for v in qv], int(cell))
-        for qid, qv, cells in zip(qpdf[query_id_col], qpdf[vec_col], order)
-        for cell in cells
-    ]
-    qid_type = queries.schema[query_id_col].dataType.simpleString()
-    q = spark.createDataFrame(
-        rows, f"{query_id_col} {qid_type}, __qvec array<double>, __cell int"
-    )
-    # no dropDuplicates here (unlike the multi-table LSH paths): each
-    # corpus row lives in exactly ONE cell and a query probes nprobe
-    # DISTINCT cells, so a (query, id) pair can match at most once — the
-    # dedup was a full extra shuffle for no semantic effect (r3 review)
-    scored = c.join(F.broadcast(q), "__cell").select(
-        query_id_col, id_col, cosine(F.col(vec_col), F.col("__qvec")).alias("cos")
-    )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("cos").desc(), F.col(id_col).asc()
-    )
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return ivf_topk_sweep(
+        corpus, queries, k, centroids, nprobes=[int(nprobe)],
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        cell_col=cell_col,
+    ).drop("__nprobe")
 
 
 def ivf_topk_sweep(
@@ -510,6 +479,11 @@ def ivf_topk_sweep(
         f"__nprobe int, {query_id_col} {qid_type}, "
         "__qvec array<double>, __cell int",
     )
+    # no dropDuplicates (unlike the multi-table LSH paths): each corpus
+    # row lives in exactly ONE cell and a query's nprobe-n set is n
+    # DISTINCT cells, so a (__nprobe, query, id) tuple can match at most
+    # once — a dedup would be a full extra shuffle for no semantic
+    # effect (r3 review)
     scored = c.join(F.broadcast(q), "__cell").select(
         "__nprobe", query_id_col, id_col,
         cosine(F.col(vec_col), F.col("__qvec")).alias("cos"),

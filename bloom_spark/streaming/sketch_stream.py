@@ -116,7 +116,12 @@ def foreach_batch_sketch_build(
 
 
 def _sink_and_segments_map(
-    staging: str, in_cols: list[str], factory: Callable[[], Sketch], arrow_schema
+    staging: str,
+    in_cols: list[str],
+    factory: Callable[[], Sketch],
+    arrow_schema,
+    ltz_cols: list[str] = (),
+    session_tz: str = "UTC",
 ):
     """mapInPandas fn: write this partition's survivor rows as a parquet
     part file into ``staging`` AND fold their hashes into one sketch
@@ -136,7 +141,10 @@ def _sink_and_segments_map(
         writer = None
         tc = TaskContext.get()
         pid = tc.partitionId() if tc is not None else 0
-        tmp = os.path.join(staging, f".part-{pid:05d}.tmp")
+        # pid-suffixed tmp: a speculative/zombie attempt of the same
+        # partition must not interleave pages into this attempt's file
+        # (both produce identical content; os.replace publishes one whole)
+        tmp = os.path.join(staging, f".part-{pid:05d}.tmp{os.getpid()}")
         dst = os.path.join(staging, f"part-{pid:05d}.parquet")
         try:
             for pdf in batches:
@@ -146,12 +154,27 @@ def _sink_and_segments_map(
                     to_uint64(pdf[H1_COL]), to_uint64(pdf[H2_COL])
                 )
                 n += len(pdf)
+                out = pdf[in_cols]
+                # TIMESTAMP (ltz) columns arrive as NAIVE session-local
+                # wall times; the arrow schema (or a parquet reader)
+                # would stamp them UTC — localize first so the written
+                # instants are correct in any session timezone
+                for c in ltz_cols:
+                    if out[c].dt.tz is None:
+                        out = out.assign(**{c: out[c].dt.tz_localize(session_tz)})
                 tbl = pa.Table.from_pandas(
-                    pdf[in_cols], schema=arrow_schema, preserve_index=False
+                    out, schema=arrow_schema, preserve_index=False
                 )
                 if writer is None:
                     os.makedirs(staging, exist_ok=True)
-                    writer = pq.ParquetWriter(tmp, tbl.schema)
+                    # coerce: pandas ns timestamps otherwise land as
+                    # TIMESTAMP(NANOS), which Spark's reader rejects
+                    writer = pq.ParquetWriter(
+                        tmp,
+                        tbl.schema,
+                        coerce_timestamps="us",
+                        allow_truncated_timestamps=True,
+                    )
                 writer.write_table(tbl)
         finally:
             if writer is not None:
@@ -219,11 +242,22 @@ def foreach_batch_bloom_dedup(
             )
         except Exception:
             arrow_schema = None  # fall back to per-batch inference
+        from pyspark.sql.types import TimestampType
+
+        ltz_cols = [
+            f.name
+            for f in batch_df.schema.fields
+            if isinstance(f.dataType, TimestampType)
+        ]
+        session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
         hashed = with_hash_columns(survivors, keys).select(
             *in_cols, H1_COL, H2_COL
         )
         segs = hashed.mapInPandas(
-            _sink_and_segments_map(staging, in_cols, factory, arrow_schema),
+            _sink_and_segments_map(
+                staging, in_cols, factory, arrow_schema,
+                ltz_cols=ltz_cols, session_tz=session_tz,
+            ),
             SEGMENT_SCHEMA,
         )
         try:

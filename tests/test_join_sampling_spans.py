@@ -273,3 +273,22 @@ def test_remove_duplicate_spans_whole_doc_and_out_col(spark):
     assert rows[1] == (same, "")
     assert rows[2] == (same, "")
     assert rows[3][0] == rows[3][1] == other
+
+
+def test_bottom_k_null_group_keys_sampled(spark):
+    """A NULL group key is a group (Spark window semantics); the pandas
+    pre-trim must not silently drop it (groupby dropna default)."""
+    from bloom_spark.ops.sampling import bottom_k_sample
+
+    rows = [(i, "en" if i % 2 else None) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = bottom_k_sample(df, ["lang"], k=3, id_cols=["doc_id"], pre_trim=True)
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    want = {
+        (r["lang"], r["doc_id"])
+        for r in bottom_k_sample(
+            df, ["lang"], k=3, id_cols=["doc_id"], pre_trim=False
+        ).collect()
+    }
+    assert got == want
+    assert sum(1 for g, _ in got if g is None) == 3

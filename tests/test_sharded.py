@@ -235,11 +235,17 @@ class TestShardedFilter:
             [(i, f"x{i}") for i in range(200)], "id long, text string"
         )
         assert dedup_against_filter(spark, other, ["text"], dm).count() == 200
-        # geometry mismatch refused
+        # geometry mismatch refused — shard count AND fpr (different fpr
+        # means different bitmap m; a mid-merge failure would leave a
+        # torn output dir)
         dc = str(tmp_path / "c")
         build_sharded_bloom(a, ["text"], dc, n_shards=8, expected_n=400, fpr=1e-9)
         with pytest.raises(ValueError):
             merge_sharded_artifacts(spark, [da, dc], str(tmp_path / "bad"))
+        dd2 = str(tmp_path / "d")
+        build_sharded_bloom(a, ["text"], dd2, n_shards=4, expected_n=400, fpr=1e-6)
+        with pytest.raises(ValueError, match="geometr"):
+            merge_sharded_artifacts(spark, [da, dd2], str(tmp_path / "bad2"))
 
     def test_shard_routing_consistent(self, spark, artifact):
         """The probe's numpy pmod must equal the build's JVM pmod: every
