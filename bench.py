@@ -22,10 +22,62 @@ import sys
 import time
 
 
+def _host_canary() -> float:
+    """Fixed single-thread numpy workload (~0.6 s when this host is
+    healthy; observed up to ~2x in throttled phases). Recorded in the
+    output JSON so per-round bench numbers can be read against the host
+    speed they were measured at — the sandbox CPU varies in phases that
+    uniformly inflate every query (see BASELINE.md variance model)."""
+    import time as _time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.random(12_000_000)
+    np.sort(arr)  # absorb first-touch ramp
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        np.sort(arr)
+    return round(_time.perf_counter() - t0, 3)
+
+
+def _canary_worker(_i: int) -> float:
+    import time as _time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    arr = rng.random(12_000_000)
+    np.sort(arr)
+    t0 = _time.perf_counter()
+    for _ in range(3):
+        np.sort(arr)
+    return _time.perf_counter() - t0
+
+
+def _host_canary_mp(workers: int = 8) -> float:
+    """Eight CONCURRENT copies of the single-thread canary in separate
+    processes: the sandbox host throttles many-core capacity separately
+    from single-core speed (observed: flat single-thread canary while a
+    32-thread Spark bench ran ~25% slow), so the pair of canaries is
+    what makes a bench number interpretable. Healthy: the slowest worker
+    ~= the single-thread time; degraded: multiples of it."""
+    import time as _time
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = _time.perf_counter()
+    with ProcessPoolExecutor(workers) as ex:
+        walls = list(ex.map(_canary_worker, range(workers)))
+    _ = _time.perf_counter() - t0  # includes pool startup; report work max
+    return round(max(walls), 3)
+
+
 def main() -> None:
     # benches opt IN to RAM-backed shuffle scratch (production default is
     # disk so oversized shuffles spill instead of ENOSPC — session.py)
     os.environ.setdefault("BLOOM_SPARK_SHM_SCRATCH", "1")
+    canary_before = _host_canary()
+    canary_mp_before = _host_canary_mp()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
@@ -161,6 +213,8 @@ def main() -> None:
                 "pages_survivors": int(survivors),
                 "prev_total": prev_total,
                 "regressions_vs_prev": regressions,
+                "host_canary_s": [canary_before, _host_canary()],
+                "host_canary_mp8_s": [canary_mp_before, _host_canary_mp()],
             }
         ),
         flush=True,
