@@ -1264,6 +1264,27 @@ def q_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text")
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample without replacement (ops.sampling.
+    weighted_bottom_k_sample, Efraimidis–Spirakis 2006): key = -ln(u)/w
+    with u a deterministic uniform from the doc identity and w =
+    n_chars, keep the 5 smallest keys per language — longer docs are
+    proportionally likelier. Production u is hash-derived (uniform01);
+    the query passes an arithmetic u that DuckDB replays exactly."""
+    import pyspark.sql.functions as F
+
+    from bloom_spark.ops import weighted_bottom_k_sample
+
+    docs = _docs(spark, sf_dir)
+    u = F.expr(
+        "(((doc_id * 2654435761) % 4294967296) + 0.5d) / 4294967296.0d"
+    )
+    out = weighted_bottom_k_sample(
+        docs, ["lang"], k=5, weight_col="n_chars", u=u, id_cols=["doc_id"]
+    )
+    return out.select("lang", "doc_id", "n_chars")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_bloom_anti_filter(spark, "/root/testdata/sf0.001")
@@ -1321,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sharded_update_dedup": q_sharded_update_dedup,
         "neardup_components": q_neardup_components,
         "span_excision": q_span_excision,
+        "weighted_sample": q_weighted_sample,
         "sharded_merge_filter": q_sharded_merge_filter,
     }
 
@@ -1847,6 +1869,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_agg(ch, '' ORDER BY i) AS text
               FROM kept GROUP BY doc_id
             ) k USING (doc_id)
+        """,
+        "weighted_sample": """
+            WITH keyed AS (
+              SELECT lang, doc_id, n_chars,
+                     -ln((((doc_id * 2654435761) % 4294967296) + 0.5)
+                         / 4294967296.0) / n_chars AS key
+              FROM documents
+            ), ranked AS (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY key, doc_id) AS rn
+              FROM keyed
+            )
+            SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 5
         """,
         "sharded_update_dedup": """
             WITH seen AS (

@@ -50,7 +50,12 @@ from bloom_spark.ops.neardup import (  # noqa: F401
 )
 from bloom_spark.ops.join import bloom_join  # noqa: F401
 from bloom_spark.ops.pipeline import clean_corpus  # noqa: F401
-from bloom_spark.ops.sampling import bottom_k_sample, hash_rank  # noqa: F401
+from bloom_spark.ops.sampling import (  # noqa: F401
+    bottom_k_sample,
+    hash_rank,
+    uniform01,
+    weighted_bottom_k_sample,
+)
 from bloom_spark.ops.spans import (  # noqa: F401
     doc_spans,
     duplicate_spans,

@@ -50,6 +50,7 @@ def bottom_k_sample(
     rank: Column | None = None,
     id_cols: list[str] | None = None,
     pre_trim: bool = True,
+    rank_cast: str = "long",
 ) -> DataFrame:
     """Keep the ``k`` rows with the smallest rank per group — a
     deterministic, mergeable, join-consistent per-group sample.
@@ -70,7 +71,9 @@ def bottom_k_sample(
             raise ValueError("need rank= or id_cols= for a deterministic sample")
         rank = hash_rank(id_cols)
     tie = [F.col(c) for c in (id_cols or [])]
-    ranked = df.withColumn(RANK_COL, rank.cast("long"))
+    # rank_cast="double" for real-valued ranks (weighted sampling);
+    # the default long keeps hash ranks bit-exact
+    ranked = df.withColumn(RANK_COL, rank.cast(rank_cast))
 
     if pre_trim:
         schema = ranked.schema
@@ -107,4 +110,58 @@ def bottom_k_sample(
         ranked.withColumn("__bs_rn", F.row_number().over(w))
         .where(F.col("__bs_rn") <= k)
         .drop("__bs_rn", RANK_COL)
+    )
+
+
+def uniform01(cols: list[str]) -> Column:
+    """Deterministic uniform in (0, 1) from the identity hash: the low
+    53 bits of xxhash64 (exact in a double), offset by 0.5 so the value
+    is never exactly 0 (whose -ln would be inf)."""
+    mask = (1 << 53) - 1
+    return F.expr(
+        f"((xxhash64({', '.join(cols)}) & {mask}) + 0.5d) / {float(1 << 53)}d"
+    )
+
+
+def weighted_bottom_k_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    weight_col: str,
+    u: Column | None = None,
+    id_cols: list[str] | None = None,
+    pre_trim: bool = True,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement, k per group, deterministic
+    and mergeable — Efraimidis & Spirakis 2006 (public): give each row
+    the key ``-ln(u)/w`` for a uniform ``u`` in (0,1) and keep the k
+    SMALLEST keys; the selection distribution equals sequential
+    weighted draws without replacement. With ``u`` a deterministic hash
+    of the row identity (:func:`uniform01`) the sample inherits every
+    bottom-k property: stable under repartition/retries, mergeable
+    (``bottomk(A ∪ B) = bottomk(bottomk(A) ∪ bottomk(B))`` holds for
+    any fixed per-row key), incremental-append friendly.
+
+    Rows with NULL or non-positive weight never enter the sample (their
+    key is +inf semantically; implemented by filtering — the reference
+    distribution is undefined there). Use ``weight_col`` = a quality
+    score to oversample high-quality docs, document length for
+    char-budget sampling, etc.
+    """
+    if u is None:
+        if not id_cols:
+            raise ValueError(
+                "need u= or id_cols= for a deterministic weighted sample"
+            )
+        u = uniform01(id_cols)
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return bottom_k_sample(
+        df.where(w.isNotNull() & (w > 0)),
+        group_cols,
+        k,
+        rank=key,
+        id_cols=id_cols,
+        pre_trim=pre_trim,
+        rank_cast="double",
     )

@@ -292,3 +292,62 @@ def test_bottom_k_null_group_keys_sampled(spark):
     }
     assert got == want
     assert sum(1 for g, _ in got if g is None) == 3
+
+
+def test_weighted_sample_matches_driver_reference(spark):
+    """Efraimidis–Spirakis keys computed identically driver-side pick
+    the same per-group sample; pre-trim and window paths agree."""
+    import math
+
+    from bloom_spark.ops.sampling import weighted_bottom_k_sample
+
+    rows = [(i, str(i % 3), float(1 + (i * 7) % 10)) for i in range(300)]
+    df = spark.createDataFrame(rows, "rid long, g string, w double")
+    got = {
+        (r["g"], r["rid"])
+        for r in weighted_bottom_k_sample(
+            df, ["g"], k=5, weight_col="w", id_cols=["rid"]
+        ).collect()
+    }
+    # reference: same u (from the JVM hash, read back) and key formula
+    udf = spark.createDataFrame(rows, "rid long, g string, w double").selectExpr(
+        "rid", "g", "w",
+        f"((xxhash64(rid) & {(1 << 53) - 1}) + 0.5d) / {float(1 << 53)}d AS u",
+    )
+    ref = {}
+    for r in udf.collect():
+        ref.setdefault(r["g"], []).append((-math.log(r["u"]) / r["w"], r["rid"]))
+    want = {
+        (g, rid)
+        for g, keys in ref.items()
+        for _, rid in sorted(keys)[:5]
+    }
+    assert got == want
+    # no pre-trim path agrees
+    got2 = {
+        (r["g"], r["rid"])
+        for r in weighted_bottom_k_sample(
+            df, ["g"], k=5, weight_col="w", id_cols=["rid"], pre_trim=False
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_weighted_sample_respects_weights(spark):
+    """A group where one row carries overwhelming weight must (with this
+    fixed hash) select it; zero/negative/null weights never sampled."""
+    from bloom_spark.ops.sampling import weighted_bottom_k_sample
+
+    rows = [(i, "g", 1e-6) for i in range(50)] + [
+        (100, "g", 1e9),
+        (101, "g", 0.0),
+        (102, "g", -5.0),
+        (103, "g", None),
+    ]
+    df = spark.createDataFrame(rows, "rid long, g string, w double")
+    got = {r["rid"] for r in weighted_bottom_k_sample(
+        df, ["g"], k=3, weight_col="w", id_cols=["rid"]
+    ).collect()}
+    assert 100 in got  # -ln(u)/1e9 is ~always the smallest key
+    assert got.isdisjoint({101, 102, 103})
+    assert len(got) == 3
