@@ -65,11 +65,23 @@ def bottom_k_sample(
     group already, so it cannot be in the global bottom-k. Trim cost is
     a vectorized pandas sort per Arrow batch; shuffle volume drops from
     n rows to ≤ partitions · groups · k.
+
+    A caller-supplied ``rank`` needs ``id_cols`` too: both the pre-trim
+    head(k) and the final row_number break rank TIES by physical row
+    order, so without a tiebreaker the sample composition would vary
+    across runs/partitionings despite the stability contract (ADVICE
+    r4). Pass ``id_cols=[]`` explicitly to assert the rank is tie-free.
     """
     if rank is None:
         if not id_cols:
             raise ValueError("need rank= or id_cols= for a deterministic sample")
         rank = hash_rank(id_cols)
+    elif id_cols is None:
+        raise ValueError(
+            "bottom_k_sample with a caller-supplied rank needs id_cols= to "
+            "break rank ties deterministically (pass id_cols=[] only if "
+            "the rank is provably tie-free)"
+        )
     tie = [F.col(c) for c in (id_cols or [])]
     # rank_cast="double" for real-valued ranks (weighted sampling);
     # the default long keeps hash ranks bit-exact

@@ -54,6 +54,28 @@ def shard_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard_{shard:05d}.sk")
 
 
+def _fresh_dir(path: str, patterns: tuple[str, ...]) -> None:
+    """Overwrite semantics for an artifact output directory: create it
+    and remove files matching ``patterns`` left by a PREVIOUS run.
+    Without this, reusing a directory silently unions stale shard files
+    (wrong membership answers) or stale survivor part files into the
+    result — every other sink in jobs/dedup.py uses .mode('overwrite'),
+    so the artifact dirs must match (ADVICE r4)."""
+    import fnmatch
+
+    os.makedirs(path, exist_ok=True)
+    for name in os.listdir(path):
+        if any(fnmatch.fnmatch(name, p) for p in patterns):
+            try:
+                os.remove(os.path.join(path, name))
+            except FileNotFoundError:
+                pass
+
+
+_SHARD_PATTERNS = ("shard_*.sk", "shard_*.sk.tmp*", MANIFEST, MANIFEST + ".tmp*")
+_SURVIVOR_PATTERNS = ("part-*.parquet", "part-*.parquet.tmp*")
+
+
 def build_sharded_bloom(
     df: DataFrame,
     cols: list[str],
@@ -70,7 +92,7 @@ def build_sharded_bloom(
     hash imbalance — the same sizing the single-pass dedup uses), so
     the union of shards costs ≈ one global filter.
     """
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir, _SHARD_PATTERNS)
     flush_rows = FLUSH_ROWS  # captured at call time so tests can pin it
     n_part = max(4096, -(-int(expected_n) // n_shards) * 2)
     # the shard id is NOT materialized as a shuffle column: the exchange
@@ -233,7 +255,16 @@ def _link_or_copy(src: str, dst: str) -> None:
     import shutil
 
     if os.path.exists(dst):
-        return
+        # recovery-only fast path: reuse dst ONLY when it is provably this
+        # src (same inode from an earlier link). Same-SIZE is not evidence
+        # — every shard in an artifact shares the geometry byte size, so a
+        # stale shard would pass. Anything else is replaced (ADVICE r4: a
+        # bare exists-check silently kept wrong shards; out dirs are also
+        # now cleared upfront by _fresh_dir).
+        s, d = os.stat(src), os.stat(dst)
+        if (s.st_dev, s.st_ino) == (d.st_dev, d.st_ino):
+            return
+        os.remove(dst)
     try:
         os.link(src, dst)
     except OSError:
@@ -249,6 +280,7 @@ def update_sharded_bloom(
     out_dir: str,
     survivors_dir: str | None = None,
     order_col: str | None = None,
+    on_full: str = "warn",
 ) -> dict:
     """Incremental ``check_and_set`` update of a sharded artifact — the
     reference CLI's flagship loop (load filter file → check_and_set each
@@ -279,19 +311,29 @@ def update_sharded_bloom(
 
     Single-writer per artifact version, like the reference's file: two
     concurrent updates writing the same ``out_dir`` race on shard files.
+
+    ``on_full`` mirrors the reference CLI's fullness tracking
+    (process.rs prints "All containers are full, writing disabled" and
+    stops inserting): after the update, any shard whose accumulated
+    ``n_rows`` exceeds ``per_shard_capacity`` has blown its sized FPR
+    budget — ``"warn"`` (default) emits a warning naming the shards,
+    ``"error"`` raises (the out_dir artifact is written either way so
+    the caller can inspect it), ``"ignore"`` stays silent.
     """
     if os.path.abspath(in_dir) == os.path.abspath(out_dir):
         raise ValueError(
             "update_sharded_bloom is copy-on-update: out_dir must differ "
             "from in_dir (rename afterwards for in-place semantics)"
         )
+    if on_full not in ("warn", "error", "ignore"):
+        raise ValueError(f"on_full must be warn|error|ignore, got {on_full!r}")
     manifest = _read_manifest(in_dir)
     n_shards = int(manifest["n_shards"])
     n_part = int(manifest["per_shard_capacity"])
     fpr = float(manifest["fpr"])
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir, _SHARD_PATTERNS)
     if survivors_dir is not None:
-        os.makedirs(survivors_dir, exist_ok=True)
+        _fresh_dir(survivors_dir, _SURVIVOR_PATTERNS)
 
     out_cols = df.columns
     # TIMESTAMP (ltz) columns arrive in pandas as NAIVE wall times in the
@@ -409,6 +451,20 @@ def update_sharded_bloom(
             shards_out.append(old[s])
     new_manifest = dict(manifest, shards=shards_out)
     _write_manifest(out_dir, new_manifest)
+    over = [e["shard"] for e in shards_out if e["n_rows"] > n_part]
+    if over and on_full != "ignore":
+        msg = (
+            f"update_sharded_bloom: {len(over)} shard(s) exceed "
+            f"per_shard_capacity={n_part} (e.g. shard {over[0]}): the "
+            f"configured fpr={fpr} bound no longer holds — rebuild with a "
+            "larger expected_n (reference: 'All containers are full, "
+            "writing disabled', process.rs)"
+        )
+        if on_full == "error":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return new_manifest
 
 
@@ -425,6 +481,12 @@ def merge_sharded_artifacts(
     reference's num_writes counter under merge."""
     if not in_dirs:
         raise ValueError("merge_sharded_artifacts needs at least one input")
+    if any(os.path.abspath(d) == os.path.abspath(out_dir) for d in in_dirs):
+        raise ValueError(
+            "merge_sharded_artifacts: out_dir must differ from every input "
+            "(outputs are written fresh; merging into an input would "
+            "clobber it mid-merge)"
+        )
     manifests = [_read_manifest(d) for d in in_dirs]
     # fpr is part of the geometry: same (shards, capacity) at different
     # fpr means different bitmap sizes m — without the upfront check the
@@ -437,7 +499,7 @@ def merge_sharded_artifacts(
     if len(geo) > 1:
         raise ValueError(f"incompatible artifact geometries: {sorted(geo)}")
     n_shards = int(manifests[0]["n_shards"])
-    os.makedirs(out_dir, exist_ok=True)
+    _fresh_dir(out_dir, _SHARD_PATTERNS)
 
     counts: dict[int, int] = {}
     for m in manifests:

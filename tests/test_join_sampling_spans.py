@@ -147,6 +147,19 @@ def test_bottom_k_requires_deterministic_rank(grouped_rows):
         bottom_k_sample(grouped_rows, ["g"], k=3)
 
 
+def test_bottom_k_supplied_rank_requires_tiebreaker(grouped_rows):
+    """ADVICE r4: a caller-supplied rank with no id_cols breaks ties by
+    physical row order in both the pre-trim and the final row_number —
+    refuse unless the caller asserts tie-freeness with id_cols=[]."""
+    with pytest.raises(ValueError, match="id_cols"):
+        bottom_k_sample(grouped_rows, ["g"], k=3, rank=F.col("v") % 2)
+    # explicit empty list = caller asserts the rank is tie-free
+    got = bottom_k_sample(
+        grouped_rows, ["g"], k=3, rank=F.col("rid"), id_cols=[]
+    )
+    assert got.count() > 0
+
+
 def test_hash_rank_is_xxhash64(spark):
     df = spark.createDataFrame([(1,), (2,)], "rid long")
     got = df.select(hash_rank(["rid"]).alias("h"), F.xxhash64("rid").alias("x"))

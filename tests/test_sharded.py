@@ -14,6 +14,7 @@ from bloom_spark.ops.build import build_sketch
 from bloom_spark.ops.dedup import dedup_against_filter
 from bloom_spark.ops.sharded import (
     MANIFEST,
+    _read_manifest,
     build_sharded_bloom,
     is_sharded_artifact,
     merge_sharded_artifacts,
@@ -260,3 +261,101 @@ class TestShardedFilter:
             "m", probe(F.col(H1_COL), F.col(H2_COL))
         ).where(~F.col("m"))
         assert found.count() == 0
+
+    def test_out_dir_reuse_clears_stale_files(self, spark, tmp_path):
+        """ADVICE r4 (medium): reusing an out_dir / survivors_dir from a
+        previous different run must NOT keep stale shard files (wrong
+        membership) or stale survivor parts (inflated rows_out) — the
+        artifact dirs get .mode('overwrite') semantics."""
+        a = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(60)], "id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(1000 + i, f"b{i}") for i in range(60)], "id long, text string"
+        )
+        base_a = str(tmp_path / "base_a")
+        base_b = str(tmp_path / "base_b")
+        out = str(tmp_path / "out")
+        surv = str(tmp_path / "surv")
+        build_sharded_bloom(a, ["text"], base_a, n_shards=4,
+                            expected_n=200, fpr=1e-9)
+        build_sharded_bloom(b, ["text"], base_b, n_shards=4,
+                            expected_n=200, fpr=1e-9)
+        # run 1: update base_a with b into (out, surv)
+        update_sharded_bloom(b, ["text"], base_a, out, survivors_dir=surv)
+        assert spark.read.parquet(surv).count() == 60
+        # run 2 REUSES the same dirs with a different base + batch: the
+        # result must describe run 2 only
+        update_sharded_bloom(a, ["text"], base_b, out, survivors_dir=surv)
+        assert spark.read.parquet(surv).count() == 60  # not 120
+        man = _read_manifest(out)
+        assert sum(e["n_rows"] for e in man["shards"]) == 120  # b base + a
+        # out artifact knows exactly a ∪ b from run 2's lineage — and a
+        # stale run-1 shard would also have made these counts wrong
+        assert dedup_against_filter(
+            spark, a.unionAll(b), ["text"], out
+        ).count() == 0
+
+    def test_build_out_dir_reuse_overwrites(self, spark, tmp_path):
+        """build_sharded_bloom into a reused dir must not union stale
+        shards from a previous build with MORE shards (old high-numbered
+        shard files would otherwise survive and poison probes)."""
+        a = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(60)], "id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(i, f"b{i}") for i in range(60)], "id long, text string"
+        )
+        out = str(tmp_path / "art")
+        build_sharded_bloom(a, ["text"], out, n_shards=8,
+                            expected_n=200, fpr=1e-9)
+        build_sharded_bloom(b, ["text"], out, n_shards=4,
+                            expected_n=200, fpr=1e-9)
+        import os as _os
+
+        shard_files = [f for f in _os.listdir(out) if f.endswith(".sk")]
+        assert all(int(f[6:11]) < 4 for f in shard_files)
+        assert dedup_against_filter(spark, b, ["text"], out).count() == 0
+        assert dedup_against_filter(spark, a, ["text"], out).count() == 60
+
+    def test_merge_refuses_inplace_output(self, spark, tmp_path):
+        a = spark.createDataFrame(
+            [(i, f"a{i}") for i in range(20)], "id long, text string"
+        )
+        da = str(tmp_path / "a")
+        build_sharded_bloom(a, ["text"], da, n_shards=4, expected_n=100, fpr=1e-9)
+        with pytest.raises(ValueError, match="out_dir must differ"):
+            merge_sharded_artifacts(spark, [da], da)
+
+    def test_update_saturation_guard(self, spark, tmp_path):
+        """ADVICE r4: repeated updates past per_shard_capacity silently
+        degrade the FPR bound — the reference CLI tracks fullness
+        ('All containers are full, writing disabled'). on_full='warn'
+        warns, 'error' raises, 'ignore' is silent."""
+        import warnings
+
+        small = spark.createDataFrame(
+            [(i, f"s{i}") for i in range(10)], "id long, text string"
+        )
+        # capacity floor is 4096, so overflow needs > 4096 accumulated keys
+        big = spark.createDataFrame(
+            [(i, f"x{i}") for i in range(9000)], "id long, text string"
+        )
+        base, v2, v3 = (
+            str(tmp_path / "b"), str(tmp_path / "v2"), str(tmp_path / "v3")
+        )
+        build_sharded_bloom(small, ["text"], base, n_shards=1,
+                            expected_n=10, fpr=1e-6)
+        with pytest.warns(RuntimeWarning, match="per_shard_capacity"):
+            man = update_sharded_bloom(big, ["text"], base, v2)
+        assert man["shards"][0]["n_rows"] == 9010
+        with pytest.raises(RuntimeError, match="per_shard_capacity"):
+            update_sharded_bloom(big, ["text"], base, v3, on_full="error")
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            update_sharded_bloom(
+                big, ["text"], base, str(tmp_path / "v4"), on_full="ignore"
+            )
+        with pytest.raises(ValueError, match="on_full"):
+            update_sharded_bloom(big, ["text"], base, str(tmp_path / "v5"),
+                                 on_full="nope")
