@@ -972,17 +972,28 @@ def q_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    with tempfile.TemporaryDirectory() as d, _micro_batch_parallelism(spark, 8):
-        for i in range(3):
-            docs.where(F.pmod("doc_id", F.lit(3)) == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{d}/src/chunk{i}")
+    # parallelism ∝ rows-per-trigger (~n/3 docs), not table size: each
+    # micro-batch partition costs a python worker round-trip per trigger
+    with tempfile.TemporaryDirectory() as d, _micro_batch_parallelism(spark, 4):
+        # ONE write job for all three chunk files (vs three sequential
+        # jobs): rows co-partitioned by chunk id, partitionBy splits the
+        # dirs — each chunk dir gets exactly one file, so
+        # maxFilesPerTrigger=1 still yields three micro-batches
+        (
+            docs.withColumn("chunk", F.pmod("doc_id", F.lit(3)))
+            .repartition(3, "chunk")
+            .write.mode("overwrite")
+            .partitionBy("chunk")
+            .parquet(f"{d}/src")
+        )
         stream = (
             spark.readStream.schema(
-                "doc_id long, text string, lang string, source string, n_chars long"
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long, chunk int"
             )
             .option("maxFilesPerTrigger", "1")
-            .parquet(f"{d}/src/chunk*")
+            .parquet(f"{d}/src")
+            .select("doc_id", "text", "lang", "source", "n_chars")
         )
         ck = SketchCheckpoint(f"{d}/ck")
         fn = foreach_batch_bloom_dedup(
