@@ -1021,13 +1021,15 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (stub codec, real Spark path): BMM1 payloads
-    keyed by the documents table's doc_ids → mapInPandas decode →
-    per-media features. The fake codec's body bytes are a linear
-    formula ((7*id + 11*j) % 256), so every decoded feature — dims,
-    n_bytes, mean intensity — is EXACTLY replayable in DuckDB SQL
-    over the documents view: full rows+schema+hash oracle without
-    pretending to decode real JPEG (SURVEY.md §2 multimodal row)."""
+    """Multimodal decode over REAL container formats: genuine 24-bit
+    BMP (images) and RIFF PCM WAV (audio) payloads keyed by the
+    documents table's doc_ids, parsed for real — header walk, bottom-up
+    BGR raster + padding, chunk list — by pure-numpy codecs
+    (io/media_codecs.py; r4 verdict item 5); video stays on the BMM1
+    fake (ffmpeg unavailable). Content bytes follow a linear formula
+    ((7*id + 11*j) % 256) in content order, so every decoded feature —
+    dims, n_bytes, mean intensity — is EXACTLY replayable in DuckDB SQL
+    over the documents view (SURVEY.md §2 multimodal row)."""
     import pyspark.sql.functions as F
 
     from bloom_spark.ops.multimodal import decode_media, media_from_ids
@@ -1753,11 +1755,23 @@ def oracle_sql() -> dict[str, str]:
                      CASE doc_id % 3 WHEN 0 THEN 'image'
                                      WHEN 1 THEN 'audio'
                                      ELSE 'video' END AS kind,
-                     (8 + doc_id % 8)::BIGINT AS width,
-                     (8 + doc_id % 5)::BIGINT AS height,
-                     (1 + doc_id % 3)::BIGINT AS channels,
-                     (CASE WHEN doc_id % 3 = 0 THEN 1
-                           ELSE 4 + doc_id % 4 END)::BIGINT AS n_frames,
+                     (CASE doc_id % 3
+                        WHEN 0 THEN 4 * (2 + doc_id % 4)  -- real BMP
+                        WHEN 1 THEN 1                     -- real WAV
+                        ELSE 8 + doc_id % 8 END)::BIGINT AS width,
+                     (CASE doc_id % 3
+                        WHEN 0 THEN 8 + doc_id % 5
+                        WHEN 1 THEN 1
+                        ELSE 8 + doc_id % 5 END)::BIGINT AS height,
+                     (CASE doc_id % 3
+                        WHEN 0 THEN 3
+                        WHEN 1 THEN 1 + doc_id % 2
+                        ELSE 1 + doc_id % 3 END)::BIGINT AS channels,
+                     (CASE doc_id % 3
+                        WHEN 0 THEN 1
+                        WHEN 1 THEN (240 + (doc_id % 7) * 16)
+                                    / (1 + doc_id % 2)
+                        ELSE 4 + doc_id % 4 END)::BIGINT AS n_frames,
                      (CASE WHEN doc_id % 3 = 1 THEN 16000
                            ELSE 0 END)::BIGINT AS sample_rate
               FROM documents)
