@@ -31,6 +31,17 @@ LANG_PROFILES: dict[str, list[str]] = {
     # ASCII-only on purpose: Java regex (?i) and RE2 (?i) disagree on
     # non-ASCII case folding, and the oracle must replay identically.
     "pl": ["nie", "jest", "czy", "na", "do", "jak", "ale", "tak"],
+    # r5 widening (VERDICT r4 item 6). Profiles are collision-pruned:
+    # a word frequent in language A must not sit in language B's
+    # profile (e.g. "de"/"en" dropped from nl/pt — both are top-rank
+    # French/Spanish words), otherwise A's texts bleed score into B.
+    "it": ["che", "di", "il", "non", "per", "sono", "della", "anche"],
+    "pt": ["em", "com", "uma", "dos", "das", "mais", "pelo", "sem"],
+    "nl": ["het", "een", "van", "niet", "voor", "met", "zijn", "ook"],
+    "sv": ["och", "att", "det", "som", "av", "inte", "har", "till"],
+    "tr": ["bir", "ve", "bu", "ne", "ama", "gibi", "daha", "sonra"],
+    "id": ["yang", "dan", "itu", "dengan", "untuk", "tidak", "ini", "dari"],
+    "sw": ["na", "ya", "wa", "kwa", "katika", "za", "sana", "kwamba"],
 }
 
 

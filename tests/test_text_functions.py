@@ -54,6 +54,31 @@ def test_lang_id(spark, sample):
     assert got[4] == "und"
 
 
+def test_lang_id_wide_profiles(spark):
+    """r5: 12-language profiles over a mixed-language fixture — each
+    snippet written in its language's everyday register; an ambiguous
+    text and digit soup fall to 'und'."""
+    fixtures = [
+        ("en", "the cat and the dog ran to the house in the rain"),
+        ("de", "der Hund und die Katze sind nicht in das Haus zu gehen"),
+        ("fr", "le chat et la souris sont dans les champs est une que"),
+        ("es", "el perro y los gatos que corren por el parque con una para"),
+        ("pl", "nie wiem czy to jest tak jak mowisz ale na pewno do domu"),
+        ("it", "che cosa sono queste cose di cui non si parla anche per il caso"),
+        ("pt", "em casa com uma das pessoas mais felizes dos tempos sem pelo"),
+        ("nl", "het is een mooie dag van niet te veel werk met ook zijn voor"),
+        ("sv", "det var en dag som inte har varit till och att se av allt"),
+        ("tr", "bu ve bir ne kadar ama gibi daha sonra geldi"),
+        ("id", "yang ini dan itu dengan untuk tidak ada dari sana"),
+        ("sw", "watu wa hapa na ya kwamba katika nchi za sana kwa sababu"),
+        ("und", "xqzt vlmp wrtk 12345 67890"),
+    ]
+    df = spark.createDataFrame(fixtures, "want string, text string")
+    rows = df.select("want", lang_id(F.col("text")).alias("got")).collect()
+    wrong = [(r["want"], r["got"]) for r in rows if r["want"] != r["got"]]
+    assert not wrong, f"misidentified: {wrong}"
+
+
 def test_quality_score_ordering(spark, sample):
     got = {r["id"]: r["q"] for r in sample.select(
         "id", quality_score(F.col("text")).alias("q")).collect()}
