@@ -1168,7 +1168,27 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return duplicate_spans(
         docs, "doc_id", "text", span_len=30, stride=1, min_docs=2,
-        hash_spans=False,
+        hash_spans=False, winnow_w=None,
+    )
+
+
+def q_winnowed_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed exact-substring signal (ops.spans, Schleimer et al.
+    2003): content-defined anchor selection — from every run of w=8
+    consecutive window hashes keep the rightmost minimum — so both
+    copies of a duplicated region emit identical windows at ~2/(w+1)
+    of the exhaustive shuffle volume, with regions ≥ span_len+w−1
+    guaranteed detected at ANY alignment (positional stride cannot
+    promise that — see PLANS.md §14). anchor_hash='md5' here because
+    DuckDB computes the identical md5 hex strings, so the winnowing
+    selection itself replays exactly in SQL; production uses
+    xxhash64 anchors and hashed span keys."""
+    from bloom_spark.ops import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_spans(
+        docs, "doc_id", "text", span_len=30, min_docs=2,
+        hash_spans=False, winnow_w=8, anchor_hash="md5",
     )
 
 
@@ -1272,7 +1292,7 @@ def q_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = remove_duplicate_spans(
         aug, "doc_id", "text", span_len=30, stride=1,
-        min_docs=2, hash_spans=False,
+        min_docs=2, hash_spans=False, winnow_w=None,
     )
     return out.select("doc_id", "text")
 
@@ -1352,6 +1372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prejoin": q_bloom_prejoin,
         "bottomk_sample": q_bottomk_sample,
         "dup_spans": q_dup_spans,
+        "winnowed_dup_spans": q_winnowed_dup_spans,
         "sharded_update_dedup": q_sharded_update_dedup,
         "neardup_components": q_neardup_components,
         "span_excision": q_span_excision,
@@ -1814,6 +1835,41 @@ def oracle_sql() -> dict[str, str]:
             ), spans AS (
               SELECT doc_id, substr(text, CAST(i AS INT), 30) AS span
               FROM docs, UNNEST(generate_series(1, length(text) - 29)) AS t(i)
+            ), shared AS (
+              SELECT span FROM spans
+              GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+            ), per_doc AS (
+              SELECT doc_id, count(*) AS dup_spans
+              FROM spans JOIN shared USING (span) GROUP BY doc_id
+            ), totals AS (
+              SELECT doc_id, count(*) AS total_spans FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.total_spans,
+                   coalesce(p.dup_spans, 0) AS dup_spans,
+                   coalesce(p.dup_spans, 0) / t.total_spans AS dup_frac
+            FROM totals t LEFT JOIN per_doc p ON t.doc_id = p.doc_id
+        """,
+        "winnowed_dup_spans": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents WHERE length(text) >= 30
+            ), hs AS (
+              SELECT doc_id, text, length(text) - 30 + 1 AS p,
+                     list_transform(range(1, length(text) - 30 + 2),
+                                    i -> md5(substr(text, CAST(i AS INT), 30))) AS h
+              FROM docs
+            ), anch AS (
+              SELECT doc_id, text,
+                     list_distinct(list_transform(
+                       range(1, greatest(p - 7, 1) + 1),
+                       t -> list_reduce(
+                              list_transform(range(t, least(t + 7, p) + 1),
+                                             j -> {'j': j, 'hh': h[j]}),
+                              (a, b) -> CASE WHEN b.hh <= a.hh
+                                        THEN b ELSE a END).j)) AS ps
+              FROM hs
+            ), spans AS (
+              SELECT doc_id, substr(text, CAST(u.pos AS INT), 30) AS span
+              FROM anch, UNNEST(ps) AS u(pos)
             ), shared AS (
               SELECT span FROM spans
               GROUP BY span HAVING count(DISTINCT doc_id) >= 2

@@ -73,10 +73,19 @@ def run_worker(
       key-hash repartition + per-partition check_and_set, survivors
       counted. No global merge, no broadcast, no driver-held filter —
       the shape that scales to 10^12 keys, and the headline throughput
-      metric."""
+      metric.
+    - "update": the reference CLI's flagship loop (load filter →
+      check_and_set each line → write filter back + emit fresh lines,
+      process.rs:134-180) at artifact scale: a PRE-BUILT sharded base
+      artifact (built once per worker, untimed — it is the 'existing
+      filter file') is incrementally updated with batch B via
+      `update_sharded_bloom`, survivors written executor-side; timed
+      per run = one exchange + per-shard read-modify-write + survivor
+      parts + manifest fold + survivor count (r4 verdict item 2: the
+      copy-on-update claim measured N vs 4N)."""
     from bloom_spark.ops.build import build_sketch
     from bloom_spark.ops.dedup import bloom_dedup, dedup_against_filter
-    from bloom_spark.ops.sharded import build_sharded_bloom
+    from bloom_spark.ops.sharded import build_sharded_bloom, update_sharded_bloom
     from bloom_spark.session import get_session
     from bloom_spark.sketch import BloomSketch
 
@@ -97,6 +106,39 @@ def run_worker(
                 expected_n=n_rows, num_partitions=partitions,
             ).count()
             return n_rows, survivors
+
+    elif job_kind == "update":
+        import atexit
+        import shutil
+        import tempfile
+
+        d = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        base_dir = tempfile.mkdtemp(prefix="bs_upbase_", dir=d)
+        atexit.register(shutil.rmtree, base_dir, ignore_errors=True)
+        # the base artifact is the pre-existing filter file — built once,
+        # untimed; sized for base + update so the saturation guard stays
+        # quiet (the criterion measures the update loop, not a rebuild)
+        build_sharded_bloom(
+            batch_a, ["text"], base_dir, n_shards=partitions,
+            expected_n=2 * n_rows, fpr=fpr,
+        )
+
+        def job(a, b) -> tuple[int, int]:
+            out_dir = tempfile.mkdtemp(prefix="bs_upout_", dir=d)
+            surv_dir = tempfile.mkdtemp(prefix="bs_upsurv_", dir=d)
+            try:
+                update_sharded_bloom(
+                    b, ["text"], base_dir, out_dir, survivors_dir=surv_dir
+                )
+                parts = [f for f in os.listdir(surv_dir)
+                         if f.endswith(".parquet")]
+                cnt = (
+                    spark.read.parquet(surv_dir).count() if parts else 0
+                )
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                shutil.rmtree(surv_dir, ignore_errors=True)
+            return 0, cnt
 
     elif job_kind == "filter":
 
@@ -203,7 +245,9 @@ def main() -> None:
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int)
     ap.add_argument(
-        "--job", choices=["filter", "filter_mono", "dedup"], default="filter"
+        "--job",
+        choices=["filter", "filter_mono", "dedup", "update"],
+        default="filter",
     )
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--stat", choices=["min", "median"], default="min")

@@ -78,18 +78,28 @@ def lang_id(text: Column, min_score: float = 1.0) -> Column:
     """Argmax language over stopword profiles; 'und' (undetermined) when
     no profile clears ``min_score`` hits per 100 words.
 
-    Ties break by profile order (stable, documented) via strictly-greater
-    comparison in a fold.
-    """
+    Ties break by profile order (stable, documented): ``array_max`` over
+    ``struct(score, -profile_index, lang)`` — the max score wins and on
+    equal scores the EARLIEST profile (largest negated index) does,
+    matching the oracle's running-strict-max CASE. Implementation note:
+    the r1 chained-``when`` fold embedded the previous best expression
+    twice per language — exponential expression-tree growth that hung
+    Catalyst outright at 12 profiles; this form is linear."""
     wc = F.greatest(word_count(text), F.lit(1))
-    best_lang = F.lit("und")
-    best_score = F.lit(float(min_score))
-    for lang, words in LANG_PROFILES.items():
-        score = _stopword_hits(text, words) * F.lit(100.0) / wc
-        improved = score > best_score
-        best_lang = F.when(improved, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(improved, score).otherwise(best_score)
-    return best_lang
+    entries = [
+        F.struct(
+            (_stopword_hits(text, words) * F.lit(100.0) / wc)
+            .cast("double")
+            .alias("s"),
+            F.lit(-i).alias("ni"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, (lang, words) in enumerate(LANG_PROFILES.items())
+    ]
+    best = F.array_max(F.array(*entries))
+    return F.when(
+        best["s"] > F.lit(float(min_score)), best["lang"]
+    ).otherwise(F.lit("und"))
 
 
 def quality_features(text: Column) -> dict[str, Column]:

