@@ -130,6 +130,7 @@ def connected_components(
     id_col: str | None = None,
     max_iter: int = 50,
     small_graph_threshold: int = 100_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Component assignment ``(id, component)`` for every node, where
     ``component`` is the smallest node id in its component.
@@ -151,19 +152,31 @@ def connected_components(
     star rounds' fixed per-job cost dominates there. The threshold
     bounds driver memory at ~16 B/edge; pass 0 to force the distributed
     contraction.
+
+    ``stats``, when a dict is supplied, is filled in place with
+    ``{"path": "driver"|"distributed", "edges_in": n,
+    "rounds": r}`` (rounds = (large-star, small-star) pairs executed,
+    including the fixpoint-confirming one) — the observable the
+    round-count tests and the scaling bench pin.
     """
     if nodes is not None and id_col is None:
         raise ValueError("nodes requires id_col")
     e = _canon(edges, src, dst).localCheckpoint(eager=True)
     n_edges = e.count()
+    if stats is not None:
+        stats["edges_in"] = n_edges
     if n_edges <= small_graph_threshold:
+        if stats is not None:
+            stats.update(path="driver", rounds=0)
         return _with_singletons(_driver_union_find(e), nodes, id_col)
     prev = _checksum(e)
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         e = _large_star(e).localCheckpoint(eager=True)
         e = _small_star(e).localCheckpoint(eager=True)
         cur = _checksum(e)
         if cur == prev:
+            if stats is not None:
+                stats.update(path="distributed", rounds=rounds)
             break
         prev = cur
     else:

