@@ -82,7 +82,12 @@ def run_worker(
       `update_sharded_bloom`, survivors written executor-side; timed
       per run = one exchange + per-shard read-modify-write + survivor
       parts + manifest fold + survivor count (r4 verdict item 2: the
-      copy-on-update claim measured N vs 4N)."""
+      copy-on-update claim measured N vs 4N).
+    - "update_filter_only": the same loop in the reference's silent
+      mode (-s): no survivor sink, so the exchange carries 16 B/row
+      hashes instead of full rows — separates the check_and_set loop's
+      scaling from the full-row-movement term that saturates a single
+      box's memory bandwidth."""
     from bloom_spark.ops.build import build_sketch
     from bloom_spark.ops.dedup import bloom_dedup, dedup_against_filter
     from bloom_spark.ops.sharded import build_sharded_bloom, update_sharded_bloom
@@ -107,34 +112,36 @@ def run_worker(
             ).count()
             return n_rows, survivors
 
-    elif job_kind == "update":
+    elif job_kind in ("update", "update_filter_only"):
         import atexit
         import shutil
         import tempfile
 
+        with_survivors = job_kind == "update"
         d = "/dev/shm" if os.path.isdir("/dev/shm") else None
         base_dir = tempfile.mkdtemp(prefix="bs_upbase_", dir=d)
         atexit.register(shutil.rmtree, base_dir, ignore_errors=True)
         # the base artifact is the pre-existing filter file — built once,
         # untimed; sized for base + update so the saturation guard stays
         # quiet (the criterion measures the update loop, not a rebuild)
-        build_sharded_bloom(
+        base_man = build_sharded_bloom(
             batch_a, ["text"], base_dir, n_shards=partitions,
             expected_n=2 * n_rows, fpr=fpr,
         )
+        base_n = sum(e["n_rows"] for e in base_man["shards"])
 
         def job(a, b) -> tuple[int, int]:
             out_dir = tempfile.mkdtemp(prefix="bs_upout_", dir=d)
             surv_dir = tempfile.mkdtemp(prefix="bs_upsurv_", dir=d)
             try:
-                update_sharded_bloom(
-                    b, ["text"], base_dir, out_dir, survivors_dir=surv_dir
+                man = update_sharded_bloom(
+                    b, ["text"], base_dir, out_dir,
+                    survivors_dir=surv_dir if with_survivors else None,
                 )
-                parts = [f for f in os.listdir(surv_dir)
-                         if f.endswith(".parquet")]
-                cnt = (
-                    spark.read.parquet(surv_dir).count() if parts else 0
-                )
+                # fresh-key count from the manifest delta — no read-back
+                # job inside the timed window (the reference loop does
+                # not re-read its own output)
+                cnt = sum(e["n_rows"] for e in man["shards"]) - base_n
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
                 shutil.rmtree(surv_dir, ignore_errors=True)
@@ -246,7 +253,8 @@ def main() -> None:
     ap.add_argument("--cpus", type=int)
     ap.add_argument(
         "--job",
-        choices=["filter", "filter_mono", "dedup", "update"],
+        choices=["filter", "filter_mono", "dedup", "update",
+                 "update_filter_only"],
         default="filter",
     )
     ap.add_argument("--repeats", type=int, default=2)
