@@ -70,19 +70,17 @@ def run_worker(cpus: int, n_edges: int, block: int, partitions: int,
         n_comp = got.agg(F.count_distinct("component")).first()[0]
         return stats["rounds"], int(n_comp), int(stats["edges_in"])
 
-    def canary() -> float:
-        import numpy as np
-
-        rng = np.random.default_rng(7)
-        arr = rng.random(12_000_000)
-        np.sort(arr)
-        t0 = time.perf_counter()
-        for _ in range(3):
-            np.sort(arr)
-        return round(time.perf_counter() - t0, 3)
+    # both host canaries (bench.py): the sandbox throttles many-core
+    # capacity independently of single-core speed, and an iterative
+    # shuffle job is exactly the workload a many-core phase inflates
+    # while the single-thread probe stays flat (measured r5: the 10M
+    # high leg read 122 s and 160 s a few hours apart, single-thread
+    # canary 0.60-0.62 s both times)
+    from bench import _host_canary as canary, _host_canary_mp as canary_mp
 
     job(200_000)  # warm: python workers, codegen, first shuffles
     canary_before = canary()
+    canary_mp_before = canary_mp()
     walls, rounds, comps, edges_in = [], None, None, None
     for _ in range(max(1, repeats)):
         t0 = time.perf_counter()
@@ -97,6 +95,7 @@ def run_worker(cpus: int, n_edges: int, block: int, partitions: int,
                 "walls_all": [round(w, 3) for w in walls],
                 "stat": stat,
                 "host_canary_s": [canary_before, canary()],
+                "host_canary_mp8_s": [canary_mp_before, canary_mp()],
                 "edges": edges_in,
                 "rounds": rounds,
                 "components": comps,
