@@ -118,6 +118,12 @@ def main() -> None:
     ap.add_argument("--stat", choices=["min", "median"], default="median")
     ap.add_argument("--worker", action="store_true")
     ap.add_argument("--cpus", type=int)
+    ap.add_argument(
+        "--paired", action="store_true",
+        help="interleave (low, high) single-run pairs and report the "
+        "median of per-repeat ratios — robust to host phase drift that "
+        "spans repeats (BASELINE.md variance model, protocol #3)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("BLOOM_SPARK_SHM_SCRATCH", "1")
@@ -127,15 +133,54 @@ def main() -> None:
                    args.repeats, args.stat)
         return
 
-    def spawn(cpus: int) -> dict:
+    def spawn(cpus: int, repeats: int | None = None) -> dict:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker",
              "--cpus", str(cpus), "--edges", str(args.edges),
              "--block", str(args.block), "--partitions", str(args.partitions),
-             "--repeats", str(args.repeats), "--stat", args.stat],
+             "--repeats", str(repeats or args.repeats), "--stat", args.stat],
             capture_output=True, text=True, cwd=REPO, check=True,
         )
         return json.loads(out.stdout.strip().splitlines()[-1])
+
+    if args.paired:
+        pairs = [
+            (spawn(args.low, 1), spawn(args.high, 1))
+            for _ in range(max(1, args.repeats))
+        ]
+        ratio = args.high / args.low
+        effs = [
+            (p_lo["wall_s"] / p_hi["wall_s"]) / ratio for p_lo, p_hi in pairs
+        ]
+        med = sorted(effs)[len(effs) // 2]
+        i = effs.index(med)
+        lo, hi = dict(pairs[i][0]), dict(pairs[i][1])
+        # each leg object is ONE run (the median-ratio pair's), not a
+        # min/median statistic — label it so the evidence JSON reads true
+        for leg in (lo, hi):
+            leg["stat"] = "median-ratio-pair single run"
+        lo["walls_all"] = [p[0]["wall_s"] for p in pairs]
+        hi["walls_all"] = [p[1]["wall_s"] for p in pairs]
+        print(
+            json.dumps(
+                {
+                    "metric": "distributed connected-components scaling "
+                    "(local[N] vs local[4N], star contraction, paired legs)",
+                    "low": lo,
+                    "high": hi,
+                    "per_repeat_efficiency": [round(e, 3) for e in effs],
+                    "speedup": round(med * ratio, 3),
+                    "scaling_efficiency": round(med, 3),
+                    "edges": args.edges,
+                    "block": args.block,
+                    "partitions": args.partitions,
+                    "repeats": args.repeats,
+                    "stat": "median-of-paired-ratios",
+                }
+            ),
+            flush=True,
+        )
+        return
 
     lo = spawn(args.low)
     hi = spawn(args.high)
