@@ -30,6 +30,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+class _CheckpointTracker:
+    """Explicit lifetime management for the per-round ``localCheckpoint``
+    blocks. Spark never reclaims a superseded checkpoint while the
+    driver process lives (the ContextCleaner needs a JVM GC of the
+    wrapper object, which py4j keeps pinned), so an iterative operator
+    must unpersist its own history or storage grows by ~2 RDDs per
+    round for the job's lifetime. Scoped strictly to RDDs whose ids
+    appeared during THIS tracker's ``checkpoint`` calls — persisted
+    data owned by the caller or other operators is never touched."""
+
+    def __init__(self, sc) -> None:
+        self._sc = sc
+        self._mine: list[int] = []
+
+    def _persisted_ids(self):
+        return {int(i) for i in self._sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    def checkpoint(self, df: DataFrame) -> DataFrame:
+        before = self._persisted_ids()
+        out = df.localCheckpoint(eager=True)
+        self._mine.extend(sorted(self._persisted_ids() - before))
+        return out
+
+    def free_all_but_newest(self, keep: int) -> None:
+        drop = self._mine[: len(self._mine) - keep] if keep else self._mine[:]
+        if not drop:
+            return
+        jmap = self._sc._jsc.getPersistentRDDs()
+        for rid in drop:
+            jrdd = jmap.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist(False)
+        del self._mine[: len(drop)]
+
+
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Undirected edge set as (u > v) pairs, self-loops dropped."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -161,14 +196,18 @@ def connected_components(
     """
     if nodes is not None and id_col is None:
         raise ValueError("nodes requires id_col")
-    e = _canon(edges, src, dst).localCheckpoint(eager=True)
+    sc = edges.sparkSession.sparkContext
+    tracker = _CheckpointTracker(sc)
+    e = tracker.checkpoint(_canon(edges, src, dst))
     n_edges = e.count()
     if stats is not None:
         stats["edges_in"] = n_edges
     if n_edges <= small_graph_threshold:
         if stats is not None:
             stats.update(path="driver", rounds=0)
-        return _with_singletons(_driver_union_find(e), nodes, id_col)
+        out = _with_singletons(_driver_union_find(e), nodes, id_col)
+        tracker.free_all_but_newest(0)
+        return out
     prev = _checksum(e)
     for rounds in range(1, max_iter + 1):
         # Both half-rounds checkpoint: the large-star output feeds two
@@ -176,9 +215,15 @@ def connected_components(
         # and without materialization the whole large-star subtree runs
         # twice — measured r5 (interleaved A/B, 10M edges, local[8]):
         # fusing to one checkpoint per round is ~10% SLOWER.
-        e = _large_star(e).localCheckpoint(eager=True)
-        e = _small_star(e).localCheckpoint(eager=True)
+        e = tracker.checkpoint(_large_star(e))
+        e = tracker.checkpoint(_small_star(e))
         cur = _checksum(e)
+        # the new checkpoint is a materialized copy — every older one is
+        # superseded; without this, per-round blocks accumulate for the
+        # job's lifetime (measured: ~2 persisted RDDs per round, never
+        # GC-reclaimed) and at 10^9-edge rounds the eviction churn rides
+        # the same storage/disk bandwidth the shuffle needs
+        tracker.free_all_but_newest(1)
         if cur == prev:
             if stats is not None:
                 stats.update(path="distributed", rounds=rounds)
