@@ -198,41 +198,47 @@ def connected_components(
         raise ValueError("nodes requires id_col")
     sc = edges.sparkSession.sparkContext
     tracker = _CheckpointTracker(sc)
-    e = tracker.checkpoint(_canon(edges, src, dst))
-    n_edges = e.count()
-    if stats is not None:
-        stats["edges_in"] = n_edges
-    if n_edges <= small_graph_threshold:
+    try:
+        e = tracker.checkpoint(_canon(edges, src, dst))
+        n_edges = e.count()
         if stats is not None:
-            stats.update(path="driver", rounds=0)
-        out = _with_singletons(_driver_union_find(e), nodes, id_col)
-        tracker.free_all_but_newest(0)
-        return out
-    prev = _checksum(e)
-    for rounds in range(1, max_iter + 1):
-        # Both half-rounds checkpoint: the large-star output feeds two
-        # consumers in small-star (the min aggregation and the join),
-        # and without materialization the whole large-star subtree runs
-        # twice — measured r5 (interleaved A/B, 10M edges, local[8]):
-        # fusing to one checkpoint per round is ~10% SLOWER.
-        e = tracker.checkpoint(_large_star(e))
-        e = tracker.checkpoint(_small_star(e))
-        cur = _checksum(e)
-        # the new checkpoint is a materialized copy — every older one is
-        # superseded; without this, per-round blocks accumulate for the
-        # job's lifetime (measured: ~2 persisted RDDs per round, never
-        # GC-reclaimed) and at 10^9-edge rounds the eviction churn rides
-        # the same storage/disk bandwidth the shuffle needs
-        tracker.free_all_but_newest(1)
-        if cur == prev:
+            stats["edges_in"] = n_edges
+        if n_edges <= small_graph_threshold:
             if stats is not None:
-                stats.update(path="distributed", rounds=rounds)
-            break
-        prev = cur
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds"
-        )
+                stats.update(path="driver", rounds=0)
+            out = _with_singletons(_driver_union_find(e), nodes, id_col)
+            tracker.free_all_but_newest(0)
+            return out
+        prev = _checksum(e)
+        for rounds in range(1, max_iter + 1):
+            # Both half-rounds checkpoint: the large-star output feeds
+            # two consumers in small-star (the min aggregation and the
+            # join), and without materialization the whole large-star
+            # subtree runs twice — measured r5 (interleaved A/B, 10M
+            # edges, local[8]): one checkpoint per round is ~10% SLOWER.
+            e = tracker.checkpoint(_large_star(e))
+            e = tracker.checkpoint(_small_star(e))
+            cur = _checksum(e)
+            # the new checkpoint is a materialized copy — every older
+            # one is superseded; without this, per-round blocks
+            # accumulate for the job's lifetime (measured: ~2 persisted
+            # RDDs per round, never GC-reclaimed) and at 10^9-edge
+            # rounds the eviction churn rides the same storage/disk
+            # bandwidth the shuffle needs
+            tracker.free_all_but_newest(1)
+            if cur == prev:
+                if stats is not None:
+                    stats.update(path="distributed", rounds=rounds)
+                break
+            prev = cur
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} rounds"
+            )
+    except BaseException:
+        # failed mid-contraction: nothing of ours survives the raise
+        tracker.free_all_but_newest(0)
+        raise
     # fixpoint edge set is (member, root) stars; roots map to themselves
     assign = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = e.select(F.col("v").alias("id")).distinct()
