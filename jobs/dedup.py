@@ -48,8 +48,15 @@ import sys
 import time
 
 # direct `python jobs/dedup.py` runs resolve bloom_spark from the repo
-# root; under spark-submit --py-files the zip on PYTHONPATH wins
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# root; under spark-submit --py-files the zip on PYTHONPATH wins.
+# PYTHONPATH is exported too (before the session starts) so the forked
+# executor python workers resolve the package as well when the job is
+# launched from an arbitrary cwd without --py-files.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 
 def _size(s: str) -> int:
