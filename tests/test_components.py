@@ -282,3 +282,59 @@ class TestRoundCounts:
             edf, "src", "dst", small_graph_threshold=0, stats=single_stats
         ).collect()
         assert stats["rounds"] == single_stats["rounds"]
+
+
+class TestCheckpointLifetime:
+    """r5: superseded per-round localCheckpoint blocks are unpersisted
+    (storage bounded to the live round) without touching anything the
+    caller persisted."""
+
+    def test_storage_bounded_and_caller_cache_untouched(self, spark):
+        from pyspark.sql import functions as F
+
+        sc = spark.sparkContext
+        # caller-owned persisted data the operator must not release
+        mine = spark.range(1000).select(F.col("id").alias("x")).persist()
+        assert mine.count() == 1000
+        ids_before = {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        # 257-node path -> 9 distributed rounds (18 checkpoints)
+        edges = spark.range(256).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        stats: dict = {}
+        got = connected_components(
+            edges, "src", "dst", small_graph_threshold=0, stats=stats
+        )
+        assert got.count() == 257
+        assert stats["rounds"] >= 8
+        ids_after = {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        # every caller-persisted RDD survives
+        assert ids_before <= ids_after
+        # the operator leaves at most its single live checkpoint behind
+        assert len(ids_after - ids_before) <= 1
+        assert mine.count() == 1000  # still answerable from cache/lineage
+        mine.unpersist()
+
+    def test_failure_path_releases_everything(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        sc = spark.sparkContext
+        ids_before = {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        edges = spark.range(256).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(
+                edges, "src", "dst", small_graph_threshold=0, max_iter=2
+            )
+        ids_after = {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        assert ids_after <= ids_before
